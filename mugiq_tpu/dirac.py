@@ -48,6 +48,19 @@ class WilsonDirac:
         diag = psi if self.A is None else apply_clover(self.A, psi)
         return diag - self.kappa * hop
 
+    # -- term-wise interface (consumed by the multigrid Galerkin probing) --
+
+    def diag_term(self, psi):
+        """Site-diagonal part of M: 1 (Wilson) or the clover A."""
+        return psi if self.A is None else apply_clover(self.A, psi)
+
+    def hop_term(self, mu: int, sign: int, psi):
+        """Directed hopping contribution to M (including the -kappa):
+        sign=+1: -kappa (1-g_mu) U_mu(x) psi(x+mu);
+        sign=-1: -kappa (1+g_mu) U_mu^dag(x-mu) psi(x-mu)."""
+        from .ops.dslash import _hop_term
+        return -self.kappa * _hop_term(self.U[mu], psi, mu, forward=(sign > 0))
+
     def Mdag(self, psi):
         """M^dag = g5 M g5 (g5-hermiticity of Wilson-clover)."""
         return _g5(self.M(_g5(psi)))
