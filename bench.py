@@ -3,14 +3,21 @@
 The reference publishes no numbers (BASELINE.md); the agreed metric is
 dslash site-throughput at the standard 1320 flop/site Wilson count.
 ``vs_baseline`` reports the fraction of the bandwidth-roofline
-("speed of light") estimate for this chip: the dslash moves ~1440 bytes/site
-at complex64 (8 neighbour spinors + result + 8 links), so
-SOL = HBM_BW / 1440 * 1320 flops.  v5e HBM ~ 819 GB/s -> ~751 GFLOP/s.
+("speed of light") estimate for this chip: the dslash moves ~768 bytes/site
+at complex64 assuming perfect fusion (read psi once + 8 links + write out:
+2*96 + 8*72), so SOL = HBM_BW / 768 * 1320 flops; v5e HBM ~ 819 GB/s
+-> ~1408 GFLOP/s.
+
+Timing notes: this environment tunnels to the TPU, so (a)
+``block_until_ready`` does NOT actually block — completion is forced by a
+scalar readback that depends on the result; (b) each sync pays a ~tens-of-ms
+round trip — removed by differencing two chain lengths.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -18,8 +25,22 @@ import jax.numpy as jnp
 
 DIMS = (16, 16, 16, 32)          # Lx, Ly, Lz, Lt
 FLOP_PER_SITE = 1320             # standard Wilson dslash count
-BYTES_PER_SITE_C64 = 9 * 96 + 8 * 72   # spinors + links, complex64
+BYTES_PER_SITE_C64 = 2 * 96 + 8 * 72   # psi + out + links, complex64, fused
 V5E_HBM_GBS = 819.0
+
+
+def _force(x):
+    """Force completion via a data-dependent scalar readback."""
+    return float(jnp.real(x.reshape(-1)[0]))
+
+
+def _time_chain(f, U, psi, n):
+    t0 = time.perf_counter()
+    o = psi
+    for _ in range(n):
+        o = f(U, o)
+    _force(o)
+    return time.perf_counter() - t0
 
 
 def main():
@@ -29,28 +50,24 @@ def main():
 
     geom = LatticeGeometry(DIMS)
     dtype = jnp.complex64
-    U = fields.apply_boundary_phase(fields.unit_gauge(geom, dtype=dtype))
+    U = fields.apply_boundary_phase(fields.random_gauge(geom, seed=1, dtype=dtype))
     psi = fields.random_spinor(geom, seed=0, dtype=dtype)
 
     f = jax.jit(dslash_hop)
-    out = f(U, psi)
-    jax.block_until_ready(out)   # compile + warm up
+    _force(f(U, psi))            # compile + warm up
 
-    n_inner = 20
-    reps = 5
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        o = psi
-        for _ in range(n_inner):
-            o = f(U, o)
-        jax.block_until_ready(o)
-        dt = (time.perf_counter() - t0) / n_inner
-        best = min(best, dt)
+    n1, n2 = 10, 60
+    per_op = float("inf")
+    for _ in range(3):
+        t1 = _time_chain(f, U, psi, n1)
+        t2 = _time_chain(f, U, psi, n2)
+        per_op = min(per_op, (t2 - t1) / (n2 - n1))
 
     vol = geom.volume
-    gflops = FLOP_PER_SITE * vol / best / 1e9
+    gflops = FLOP_PER_SITE * vol / per_op / 1e9
     sol = V5E_HBM_GBS * 1e9 / BYTES_PER_SITE_C64 * FLOP_PER_SITE / 1e9
+    print(f"dslash: {per_op*1e6:.1f} us/apply on {DIMS} "
+          f"({vol} sites), SOL={sol:.0f} GFLOP/s", file=sys.stderr)
     print(json.dumps({
         "metric": "wilson_dslash_throughput",
         "value": round(gflops, 2),

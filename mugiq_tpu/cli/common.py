@@ -1,0 +1,147 @@
+"""Shared CLI flags — the test_params_mugiq / QUDA make_app analog.
+
+Mirrors the flag vocabulary of the reference drivers
+(/root/reference/tests/test_params_mugiq.cpp:61-112 plus the QUDA standard
+flags they build on), mapped onto this framework's parameters.  Flags that
+only made sense for the CUDA/MPI runtime (--gridsize, pads, reconstruct) are
+replaced by the mesh options.
+"""
+
+import argparse
+
+import numpy as np
+
+from ..params import (DslashType, EigOperator, EigParam, GaugeParam,
+                      InvertParam, MGParam, MassNormalization, Spectrum)
+
+
+def add_lattice_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("lattice")
+    g.add_argument("--dims", type=int, nargs=4, metavar=("X", "Y", "Z", "T"),
+                   default=[8, 8, 8, 16], help="global lattice dims")
+    g.add_argument("--gauge", default="weak:0.2",
+                   help="gauge source: unit | random | weak[:eps] | <nersc file>")
+    g.add_argument("--gauge-seed", type=int, default=0)
+    g.add_argument("--periodic-t", action="store_true",
+                   help="periodic (instead of antiperiodic) fermion time BC")
+    g.add_argument("--prec", choices=["single", "double"], default="single",
+                   help="working precision (double forces the CPU/x64 path)")
+    g.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu)")
+
+
+def add_dirac_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("dirac operator")
+    g.add_argument("--dslash-type", choices=["wilson", "clover"],
+                   default="wilson")
+    g.add_argument("--kappa", type=float, default=None)
+    g.add_argument("--mass", type=float, default=None)
+    g.add_argument("--csw", type=float, default=1.0, help="clover coefficient")
+    g.add_argument("--anisotropy", type=float, default=1.0)
+    g.add_argument("--mass-normalization", choices=["kappa", "mass"],
+                   default="kappa")
+
+
+def add_eig_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("eigensolver")
+    g.add_argument("--eig-nev", type=int, default=16)
+    g.add_argument("--eig-nkr", type=int, default=48)
+    g.add_argument("--eig-tol", type=float, default=1e-8)
+    g.add_argument("--eig-max-restarts", type=int, default=200)
+    g.add_argument("--eig-spectrum", choices=["SR", "LR"], default="SR")
+    g.add_argument("--eig-operator", choices=["MdagM", "MMdag"],
+                   default="MdagM",
+                   help="Dirac matrix to eigensolve (use-norm-op/use-dagger)")
+    g.add_argument("--eig-use-poly-acc", action="store_true")
+    g.add_argument("--eig-poly-deg", type=int, default=50)
+    g.add_argument("--eig-amin", type=float, default=0.1)
+    g.add_argument("--eig-amax", type=float, default=0.0,
+                   help="0 = auto-estimate")
+    g.add_argument("--eig-seed", type=int, default=1234)
+    g.add_argument("--eig-vec-outfile", default="",
+                   help="save eigenvectors/values (HDF5)")
+
+
+def add_mg_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("multigrid")
+    g.add_argument("--mugiq-use-mg", choices=["yes", "no"], default="no")
+    g.add_argument("--mugiq-compute-coarse", choices=["yes", "no"],
+                   default="yes")
+    g.add_argument("--mg-levels", type=int, default=2)
+    g.add_argument("--mg-block-size", type=int, nargs="+", default=[4, 4, 4, 4],
+                   metavar="B", help="geo block per level, 4 ints per level")
+    g.add_argument("--mg-nvec", type=int, nargs="+", default=[24])
+    g.add_argument("--mg-setup-iters", type=int, default=50)
+
+
+def setup_jax(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.prec == "double":
+        jax.config.update("jax_enable_x64", True)
+
+
+def build_params(args):
+    gp = GaugeParam(dims=tuple(args.dims),
+                    antiperiodic_t=not args.periodic_t,
+                    anisotropy=args.anisotropy)
+    kappa = args.kappa
+    mass = args.mass
+    if kappa is None and mass is None:
+        kappa = 0.12
+    ip = InvertParam(
+        dslash_type=(DslashType.CLOVER_WILSON if args.dslash_type == "clover"
+                     else DslashType.WILSON),
+        kappa=kappa, mass=mass, csw=args.csw, anisotropy=args.anisotropy,
+        mass_normalization=(MassNormalization.MASS
+                            if args.mass_normalization == "mass"
+                            else MassNormalization.KAPPA))
+    ep = EigParam(n_ev=args.eig_nev, n_kr=args.eig_nkr, tol=args.eig_tol,
+                  max_restarts=args.eig_max_restarts,
+                  spectrum=Spectrum[args.eig_spectrum],
+                  operator=EigOperator[args.eig_operator],
+                  use_poly_acc=args.eig_use_poly_acc,
+                  poly_deg=args.eig_poly_deg, a_min=args.eig_amin,
+                  a_max=args.eig_amax, seed=args.eig_seed)
+    return gp, ip, ep
+
+
+def build_mg_param(args) -> MGParam:
+    bs = args.mg_block_size
+    n_coarse = args.mg_levels - 1
+    if len(bs) == 4:
+        blocks = [tuple(bs)] * n_coarse
+    else:
+        assert len(bs) == 4 * n_coarse, "--mg-block-size needs 4 ints per level"
+        blocks = [tuple(bs[4 * i:4 * i + 4]) for i in range(n_coarse)]
+    nv = args.mg_nvec
+    if len(nv) == 1:
+        nv = nv * n_coarse
+    return MGParam(n_level=args.mg_levels, geo_block_size=blocks, n_vec=nv,
+                   setup_iters=args.mg_setup_iters)
+
+
+def load_gauge_from_args(args, gp: GaugeParam):
+    from ..lattice import LatticeGeometry
+    from ..io.gauge_io import load_gauge
+
+    geom = LatticeGeometry(gp.dims)
+    return load_gauge(args.gauge, geom, seed=args.gauge_seed), geom
+
+
+def read_momenta_file(path: str):
+    """Momenta file: one 'px py pz' triple per line (tests/loop.cpp:723-746)."""
+    moms = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) < 3:
+                raise ValueError(f"{path}: bad momenta line {i}: {line!r}")
+            moms.append(tuple(int(x) for x in parts[:3]))
+    if not moms:
+        raise ValueError(f"{path}: no momenta found")
+    return moms

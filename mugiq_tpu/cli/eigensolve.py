@@ -1,0 +1,57 @@
+"""Eigensolve CLI — the tests/eigensolve.cpp driver analog.
+
+    python -m mugiq_tpu.cli.eigensolve --dims 8 8 8 16 --eig-nev 16 \
+        --mugiq-use-mg yes --mg-block-size 4 4 4 4 --mg-nvec 24
+"""
+
+import argparse
+import sys
+import time
+
+from .common import (add_dirac_args, add_eig_args, add_lattice_args,
+                     add_mg_args, build_mg_param, build_params,
+                     load_gauge_from_args, setup_jax)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="mugiq-eigensolve",
+        description="Compute eigenpairs of the (fine or MG-coarse) Dirac "
+                    "operator (computeEvecsMuGiq / computeEvecsMuGiq_MG)")
+    add_lattice_args(p)
+    add_dirac_args(p)
+    add_eig_args(p)
+    add_mg_args(p)
+    args = p.parse_args(argv)
+    setup_jax(args)
+
+    from .. import api, fields
+    from ..utils import log, print_profile
+
+    gp, ip, ep = build_params(args)
+    U, geom = load_gauge_from_args(args, gp)
+
+    tot, sp, tm = fields.plaquette(U)
+    log(f"Computed plaquette is {float(tot):.8f} "
+        f"(spatial = {float(sp):.8f}, temporal = {float(tm):.8f})")
+
+    t0 = time.time()
+    if args.mugiq_use_mg == "yes" and args.mugiq_compute_coarse == "yes":
+        res = api.compute_evecs_mugiq_mg(U, gp, ip, ep, build_mg_param(args))
+    else:
+        res = api.compute_evecs_mugiq(U, gp, ip, ep)
+    res.print_evals()
+    log(f"Time for solution = {time.time() - t0:.3f} s")
+    print_profile()
+
+    if args.eig_vec_outfile:
+        from ..io.gauge_io import save_evecs
+        save_evecs(args.eig_vec_outfile, res.evecs, res.evals,
+                   sigma=res.sigma, resids=res.output.resids,
+                   attrs={"dims": str(geom.dims), "kappa": str(ip.kappa)})
+        log(f"Eigenvectors saved to {args.eig_vec_outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""Disconnected-loop CLI — the tests/loop.cpp driver analog.
+
+    python -m mugiq_tpu.cli.loop --dims 8 8 8 16 --momenta-filename moms.txt \
+        --loop-do-nonlocal yes --displace-entry-string "+z:1,8;-x:3" \
+        --loop-write-mom-space yes --loop-mom-space-filename loops.h5
+"""
+
+import argparse
+import sys
+import time
+
+from .common import (add_dirac_args, add_eig_args, add_lattice_args,
+                     add_mg_args, build_mg_param, build_params,
+                     load_gauge_from_args, read_momenta_file, setup_jax)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="mugiq-loop",
+        description="Disconnected quark loops with (MG-deflated) eigenvectors "
+                    "(computeLoop)")
+    add_lattice_args(p)
+    add_dirac_args(p)
+    add_eig_args(p)
+    add_mg_args(p)
+    g = p.add_argument_group("loop")
+    g.add_argument("--momenta-filename", default="",
+                   help="file with 'px py pz' per line; default p=0 only")
+    g.add_argument("--loop-ft-sign", choices=["plus", "minus"], default="minus")
+    g.add_argument("--loop-calc-type", choices=["blas", "opt", "basic"],
+                   default="opt")
+    g.add_argument("--loop-write-mom-space", choices=["yes", "no"], default="no")
+    g.add_argument("--loop-write-pos-space", choices=["yes", "no"], default="no")
+    g.add_argument("--loop-do-momproj", choices=["yes", "no"], default="yes")
+    g.add_argument("--loop-do-nonlocal", choices=["yes", "no"], default="no")
+    g.add_argument("--displace-entry-string", default="",
+                   help="e.g. '+z:1,8;-x:3'")
+    g.add_argument("--loop-mom-space-filename", default="")
+    g.add_argument("--loop-pos-space-filename", default="")
+    g.add_argument("--loop-gauge-filename", default="",
+                   help="separate (smeared) gauge for displacements")
+    args = p.parse_args(argv)
+    setup_jax(args)
+
+    from .. import api, fields
+    from ..io.gauge_io import load_gauge
+    from ..params import CalcType, FTSign, LoopParam
+    from ..utils import log, print_profile
+
+    gp, ip, ep = build_params(args)
+    U, geom = load_gauge_from_args(args, gp)
+
+    momenta = (read_momenta_file(args.momenta_filename)
+               if args.momenta_filename else [(0, 0, 0)])
+    do_nonlocal = args.loop_do_nonlocal == "yes"
+    if do_nonlocal and not args.displace_entry_string:
+        p.error("--loop-do-nonlocal yes requires --displace-entry-string")
+    if args.loop_write_mom_space == "yes" and not args.loop_mom_space_filename:
+        p.error("--loop-write-mom-space yes requires --loop-mom-space-filename")
+    if args.loop_write_pos_space == "yes" and not args.loop_pos_space_filename:
+        p.error("--loop-write-pos-space yes requires --loop-pos-space-filename")
+
+    lp = LoopParam(
+        momenta=momenta,
+        ft_sign=FTSign.MINUS if args.loop_ft_sign == "minus" else FTSign.PLUS,
+        calc_type={"blas": CalcType.BLAS, "opt": CalcType.OPT_KERNEL,
+                   "basic": CalcType.BASIC_KERNEL}[args.loop_calc_type],
+        write_mom_space_hdf5=args.loop_write_mom_space == "yes",
+        write_pos_space_hdf5=args.loop_write_pos_space == "yes",
+        do_mom_proj=args.loop_do_momproj == "yes",
+        do_nonlocal=do_nonlocal,
+        disp_entries=[e for e in args.displace_entry_string.split(";") if e],
+        fname_mom_h5=args.loop_mom_space_filename,
+        fname_pos_h5=args.loop_pos_space_filename,
+    )
+
+    U_loop = None
+    if args.loop_gauge_filename:
+        U_loop = load_gauge(args.loop_gauge_filename, geom,
+                            seed=args.gauge_seed)
+
+    tot, sp, tm = fields.plaquette(U)
+    log(f"Computed plaquette is {float(tot):.8f} "
+        f"(spatial = {float(sp):.8f}, temporal = {float(tm):.8f})")
+
+    use_mg = args.mugiq_use_mg == "yes"
+    t0 = time.time()
+    result, eig_res = api.compute_loop(
+        U, gp, ip, ep, lp,
+        compute_coarse=args.mugiq_compute_coarse == "yes",
+        use_mg=use_mg,
+        mg=build_mg_param(args) if use_mg else None,
+        U_loop=U_loop)
+    eig_res.print_evals()
+    log(f"Time for solution = {time.time() - t0:.3f} s")
+    print_profile()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
