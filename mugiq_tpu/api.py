@@ -46,6 +46,10 @@ class EigsolveResult:
 
     def print_evals(self):
         """printEvals analog (lib/eigsolve_mugiq.cpp:317-335)."""
+        if not self.output.converged:
+            log(f"WARNING: eigensolver did NOT converge to tolerance in "
+                f"{self.output.n_restarts} restarts; residuals below are "
+                f"as-is (raise n_kr / max_restarts)")
         for i, (lam, r) in enumerate(zip(self.output.evals, self.output.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam.real:+.16e} {lam.imag:+.16e} , "
                 f"Residual = {r:+.16e}")

@@ -42,12 +42,17 @@ class Eigensolver:
     """
 
     def __init__(self, operator_apply: Callable, field_shape, dtype,
-                 eig_param: EigParam, inv_param: Optional[InvertParam] = None):
+                 eig_param: EigParam, inv_param: Optional[InvertParam] = None,
+                 v0_transform: Optional[Callable] = None):
+        """v0_transform: applied to the random start vector — used to project
+        into an invariant subspace (e.g. the even-parity subspace of the
+        Schur-preconditioned operator, whose complement is a null space)."""
         self.op = operator_apply
         self.field_shape = tuple(field_shape)
         self.dtype = dtype
         self.p = eig_param
         self.inv = inv_param
+        self.v0_transform = v0_transform
         if eig_param.operator in (EigOperator.M, EigOperator.Mdag):
             raise NotImplementedError(
                 "Lanczos requires a Hermitian operator; use MdagM/MMdag "
@@ -59,7 +64,10 @@ class Eigensolver:
         rdt = jnp.zeros((), self.dtype).real.dtype
         re = jax.random.normal(k1, self.field_shape, dtype=rdt)
         im = jax.random.normal(k2, self.field_shape, dtype=rdt)
-        return (re + 1j * im).astype(self.dtype)
+        v0 = (re + 1j * im).astype(self.dtype)
+        if self.v0_transform is not None:
+            v0 = self.v0_transform(v0)
+        return v0
 
     def solve(self) -> EigsolveOutput:
         p = self.p
