@@ -29,9 +29,18 @@ BYTES_PER_SITE_C64 = 2 * 96 + 8 * 72   # psi + out + links, complex64, fused
 V5E_HBM_GBS = 819.0
 
 
+_SUM = None
+
+
 def _force(x):
-    """Force completion via a data-dependent scalar readback."""
-    return float(jnp.real(x.reshape(-1)[0]))
+    """Force completion via a data-dependent scalar readback.
+
+    A jitted |x|^2 reduction to an f32 scalar — scalar slices / complex
+    transfers hit UNIMPLEMENTED paths on the tunnelled backend."""
+    global _SUM
+    if _SUM is None:
+        _SUM = jax.jit(lambda a: jnp.sum(jnp.abs(a) ** 2))
+    return float(_SUM(x))
 
 
 def _time_chain(f, U, psi, n):

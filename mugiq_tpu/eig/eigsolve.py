@@ -34,11 +34,11 @@ class EigsolveOutput:
 class Eigensolver:
     """Computes eigenpairs of a (Hermitian) Dirac matrix.
 
-    `operator_apply` must be the selected matrix (already M/Mdag/MdagM/MMdag);
-    only the Hermitian normal operators support Lanczos — matching the
-    reference's constraint that polynomial acceleration requires a normal
-    operator (lib/eigsolve_mugiq.cpp:217-220); plain M/Mdag eigensolves would
-    need Arnoldi and are rejected here for now.
+    `operator_apply` must be the selected matrix (already M/Mdag/MdagM/MMdag).
+    The Hermitian normal operators (MdagM/MMdag) run thick-restart Lanczos;
+    the non-normal M/Mdag run Krylov-Schur Arnoldi (the QUDA IR-Arnoldi
+    analog).  Polynomial acceleration requires a normal operator, matching
+    the reference's check (lib/eigsolve_mugiq.cpp:217-220).
     """
 
     def __init__(self, operator_apply: Callable, field_shape, dtype,
@@ -53,10 +53,12 @@ class Eigensolver:
         self.p = eig_param
         self.inv = inv_param
         self.v0_transform = v0_transform
-        if eig_param.operator in (EigOperator.M, EigOperator.Mdag):
-            raise NotImplementedError(
-                "Lanczos requires a Hermitian operator; use MdagM/MMdag "
-                "(non-normal Arnoldi not implemented yet)")
+        self.hermitian = eig_param.operator in (EigOperator.MdagM,
+                                                EigOperator.MMdag)
+        if not self.hermitian and eig_param.use_poly_acc:
+            raise ValueError(
+                "Polynomial acceleration with non-symmetric matrices not "
+                "supported (matches lib/eigsolve_mugiq.cpp:217-220)")
 
     def _start_vector(self):
         key = jax.random.PRNGKey(self.p.seed)
@@ -73,6 +75,9 @@ class Eigensolver:
         p = self.p
         v0 = self._start_vector()
         op_jit = jax.jit(self.op)
+
+        if not self.hermitian:
+            return self._solve_arnoldi(op_jit, v0)
 
         it_op = op_jit
         it_which = {Spectrum.SR: "SR", Spectrum.LR: "LR"}.get(p.spectrum)
@@ -110,6 +115,21 @@ class Eigensolver:
         return EigsolveOutput(
             evecs=evecs, evals=evals, evals_lanczos=res.evals,
             resids=resids, sigma=sigma,
+            n_restarts=res.n_restarts, converged=res.converged)
+
+    def _solve_arnoldi(self, op_jit, v0) -> EigsolveOutput:
+        """Non-Hermitian M/Mdag path via Krylov-Schur Arnoldi."""
+        from .arnoldi import arnoldi_krylov_schur
+
+        p = self.p
+        res = arnoldi_krylov_schur(
+            op_jit, v0, n_ev=p.n_ev, n_kr=p.n_kr, tol=p.tol,
+            max_restarts=p.max_restarts, which=p.spectrum.value,
+            check_interval=p.check_interval)
+        evals, resids = self._compute_evals(res.evecs)
+        return EigsolveOutput(
+            evecs=res.evecs, evals=evals, evals_lanczos=res.evals,
+            resids=resids, sigma=None,
             n_restarts=res.n_restarts, converged=res.converged)
 
     def _compute_evals(self, evecs):

@@ -31,6 +31,8 @@ class Spectrum(enum.Enum):
     LR = "LR"  # largest real
     SM = "SM"  # smallest modulus
     LM = "LM"  # largest modulus
+    SI = "SI"  # smallest imaginary
+    LI = "LI"  # largest imaginary
 
 
 class MassNormalization(enum.Enum):
