@@ -1,17 +1,20 @@
 """Headline benchmark: Wilson dslash site throughput on one TPU chip.
 
+Runs the production rc (real-pair) dslash — this TPU backend has no complex
+dtype support, so the rc path IS the production path (see rc/cplx.py).
+
 The reference publishes no numbers (BASELINE.md); the agreed metric is
 dslash site-throughput at the standard 1320 flop/site Wilson count.
 ``vs_baseline`` reports the fraction of the bandwidth-roofline
 ("speed of light") estimate for this chip: the dslash moves ~768 bytes/site
-at complex64 assuming perfect fusion (read psi once + 8 links + write out:
-2*96 + 8*72), so SOL = HBM_BW / 768 * 1320 flops; v5e HBM ~ 819 GB/s
+at f32-pair complex assuming perfect fusion (read psi once + 8 links +
+write out: 2*96 + 8*72 bytes), so SOL = HBM_BW/768 * 1320; v5e HBM ~819 GB/s
 -> ~1408 GFLOP/s.
 
-Timing notes: this environment tunnels to the TPU, so (a)
-``block_until_ready`` does NOT actually block — completion is forced by a
-scalar readback that depends on the result; (b) each sync pays a ~tens-of-ms
-round trip — removed by differencing two chain lengths.
+Timing notes for the tunnelled backend: ``block_until_ready`` does NOT
+actually block here — completion is forced by an f32 scalar readback that
+depends on the result — and each sync pays a ~tens-of-ms round trip, removed
+by differencing two chain lengths.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,21 +28,17 @@ import jax.numpy as jnp
 
 DIMS = (16, 16, 16, 32)          # Lx, Ly, Lz, Lt
 FLOP_PER_SITE = 1320             # standard Wilson dslash count
-BYTES_PER_SITE_C64 = 2 * 96 + 8 * 72   # psi + out + links, complex64, fused
+BYTES_PER_SITE = 2 * 96 + 8 * 72   # psi + out + links, f32 re/im pairs
 V5E_HBM_GBS = 819.0
-
 
 _SUM = None
 
 
 def _force(x):
-    """Force completion via a data-dependent scalar readback.
-
-    A jitted |x|^2 reduction to an f32 scalar — scalar slices / complex
-    transfers hit UNIMPLEMENTED paths on the tunnelled backend."""
+    """Force completion via a data-dependent f32 scalar readback."""
     global _SUM
     if _SUM is None:
-        _SUM = jax.jit(lambda a: jnp.sum(jnp.abs(a) ** 2))
+        _SUM = jax.jit(lambda a: jnp.sum(a * a))
     return float(_SUM(x))
 
 
@@ -54,27 +53,29 @@ def _time_chain(f, U, psi, n):
 
 def main():
     from mugiq_tpu.lattice import LatticeGeometry
-    from mugiq_tpu import fields
-    from mugiq_tpu.ops.dslash import dslash_hop
+    from mugiq_tpu.rc.host import gauge_rc, spinor_rc
+    from mugiq_tpu.rc.dirac_rc import dslash_hop_rc
 
+    # all complex-valued setup on host (device complex arrays are
+    # unsupported here); only f32 rc arrays ever reach the chip
     geom = LatticeGeometry(DIMS)
-    dtype = jnp.complex64
-    U = fields.apply_boundary_phase(fields.random_gauge(geom, seed=1, dtype=dtype))
-    psi = fields.random_spinor(geom, seed=0, dtype=dtype)
+    U_rc = gauge_rc(geom, "random", seed=1)
+    psi_rc = spinor_rc(geom, seed=0)
 
-    f = jax.jit(dslash_hop)
-    _force(f(U, psi))            # compile + warm up
+    f = jax.jit(dslash_hop_rc)
+    _force(f(U_rc, psi_rc))            # compile + warm up
+    print("bench: compiled, timing...", file=sys.stderr)
 
     n1, n2 = 10, 60
     per_op = float("inf")
     for _ in range(3):
-        t1 = _time_chain(f, U, psi, n1)
-        t2 = _time_chain(f, U, psi, n2)
+        t1 = _time_chain(f, U_rc, psi_rc, n1)
+        t2 = _time_chain(f, U_rc, psi_rc, n2)
         per_op = min(per_op, (t2 - t1) / (n2 - n1))
 
     vol = geom.volume
     gflops = FLOP_PER_SITE * vol / per_op / 1e9
-    sol = V5E_HBM_GBS * 1e9 / BYTES_PER_SITE_C64 * FLOP_PER_SITE / 1e9
+    sol = V5E_HBM_GBS * 1e9 / BYTES_PER_SITE * FLOP_PER_SITE / 1e9
     print(f"dslash: {per_op*1e6:.1f} us/apply on {DIMS} "
           f"({vol} sites), SOL={sol:.0f} GFLOP/s", file=sys.stderr)
     print(json.dumps({
