@@ -1,0 +1,240 @@
+"""Pallas TPU kernel for the Wilson hopping term.
+
+The XLA formulations leave the dslash ~10 HBM passes from optimal (measured:
+einsum 52ms, fully-unrolled elementwise 5.6ms on 16^3x32 f32, vs ~0.6ms of
+minimum traffic at the chip's achieved bandwidth).  This kernel makes the
+fusion explicit: one grid step per time slice, all 8 directed hops computed
+from VMEM, one read of psi/links per application.
+
+Layouts (kernel-native):
+    psi:  [T, 24, Z, Y*X]   (24 = spin*color*(re,im); site dims minor)
+    U:    [T, 4, 18, Z, Y*X] (18 = 3*3*(re,im))
+    Y*X fused so the lane dimension is full (Y*X >= 256 for 16^3);
+    in-VMEM neighbour fetches are pltpu.roll on [Z, Y*X] tiles, with the
+    fused-axis x-wrap fixed up by an edge mask (y-rolls are exact rolls by
+    ±X on the fused axis; z-rolls roll the sublane axis).
+
+Time neighbours come from extra pipelined input blocks of the same arrays
+with modular index maps ((i±1) % T) — no ghost zones, no host halo copies.
+The reference implements the same operation as a CUDA kernel over ghost
+zones (SURVEY.md §2.3 'dslash/stencil operator'); here periodic wrap +
+XLA/Pallas pipelining replace the ghost machinery.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.dslash import _projector_decomp
+
+
+# ---------------------------------------------------------------------------
+# layout converters (planar [2,4,3,T,Z,Y,X] <-> kernel [T,24,Z,Y*X])
+# ---------------------------------------------------------------------------
+
+def to_kernel_spinor(p):
+    """planar [2,4,3,T,Z,Y,X] -> [T, 24, Z, Y*X] with comp = (s*3+c)*2+r."""
+    r, s, c, T, Z, Y, X = p.shape
+    q = jnp.transpose(p, (3, 1, 2, 0, 4, 5, 6))      # [T,4,3,2,Z,Y,X]
+    return q.reshape(T, 24, Z, Y * X)
+
+
+def from_kernel_spinor(k, Y):
+    T, comp, Z, YX = k.shape
+    X = YX // Y
+    q = k.reshape(T, 4, 3, 2, Z, Y, X)
+    return jnp.transpose(q, (3, 1, 2, 0, 4, 5, 6))
+
+
+def to_kernel_gauge(u):
+    """planar [2,4,3,3,T,Z,Y,X] -> [T, 4, 18, Z, Y*X], comp = (a*3+b)*2+r."""
+    r, mu, a, b, T, Z, Y, X = u.shape
+    q = jnp.transpose(u, (4, 1, 2, 3, 0, 5, 6, 7))   # [T,4,3,3,2,Z,Y,X]
+    return q.reshape(T, 4, 18, Z, Y * X)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _qr(mu, forward):
+    q, r = _projector_decomp()[(mu, "fwd" if forward else "bwd")]
+    return q, r
+
+
+def _make_kernel(Z: int, Y: int, X: int):
+    YX = Y * X
+
+    def roll(a, shift: int, axis: int):
+        """pltpu.roll with any-sign shift (the primitive wants shift >= 0)."""
+        n = a.shape[axis]
+        return pltpu.roll(a, shift % n, axis=axis)
+
+    def shift_site(a, mu: int, sign: int, col):
+        """a(x + sign*mu_hat) for a [Z, YX] array; mu in {0(x),1(y),2(z)}."""
+        if mu == 0:
+            main = roll(a, -sign, axis=1)
+            wrapped = roll(a, sign * (X - 1), axis=1)
+            edge = (col == (X - 1 if sign > 0 else 0))
+            return jnp.where(edge, wrapped, main)
+        if mu == 1:
+            return roll(a, -sign * X, axis=1)
+        return roll(a, -sign, axis=0)
+
+    def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
+        col = jax.lax.broadcasted_iota(jnp.int32, (Z, YX), 1) % X
+
+        def pcomp(ref, s, c, r):
+            return ref[0, (s * 3 + c) * 2 + r]
+
+        def ucomp(ref, mu, a, b, r):
+            if mu is None:
+                return ref[0, (a * 3 + b) * 2 + r]
+            return ref[0, mu, (a * 3 + b) * 2 + r]
+
+        acc = [[None] * 3 for _ in range(4)]   # acc[s][c] = (re, im)
+
+        def add_acc(s, c, vr, vi):
+            if acc[s][c] is None:
+                acc[s][c] = (vr, vi)
+            else:
+                ar, ai = acc[s][c]
+                acc[s][c] = (ar + vr, ai + vi)
+
+        def hop(mu, forward, get_psi, get_link):
+            """One directed hop; get_psi(s,c,r)->[Z,YX] neighbour component,
+            get_link(a,b,r)->[Z,YX] link component (dagger handled by caller
+            swapping (a,b) and negating im)."""
+            q, r = _qr(mu, forward)
+            # project to half spinor h[hs][c]
+            h = {}
+            for hs in range(2):
+                for c in range(3):
+                    hr = hi = None
+                    for s in range(4):
+                        coeff = q[hs, s]
+                        if coeff == 0:
+                            continue
+                        cr, ci = float(coeff.real), float(coeff.imag)
+                        pr = get_psi(s, c, 0)
+                        pi = get_psi(s, c, 1)
+                        tr = ti = None
+                        if cr != 0.0:
+                            tr = pr * cr
+                            ti = pi * cr
+                        if ci != 0.0:
+                            tr = (-pi * ci) if tr is None else tr - pi * ci
+                            ti = (pr * ci) if ti is None else ti + pr * ci
+                        hr = tr if hr is None else hr + tr
+                        hi = ti if hi is None else hi + ti
+                    h[(hs, c)] = (hr, hi)
+            # link multiply g[hs][a] = sum_b U[a,b] h[hs][b]
+            g = {}
+            for hs in range(2):
+                for a in range(3):
+                    gr = gi = None
+                    for b in range(3):
+                        ur = get_link(a, b, 0)
+                        ui = get_link(a, b, 1)
+                        hr, hi = h[(hs, b)]
+                        tr = ur * hr - ui * hi
+                        ti = ur * hi + ui * hr
+                        gr = tr if gr is None else gr + tr
+                        gi = ti if gi is None else gi + ti
+                    g[(hs, a)] = (gr, gi)
+            # reconstruct out[s][c] += r[s, hs] g[hs][c]
+            for s in range(4):
+                for hs in range(2):
+                    coeff = r[s, hs]
+                    if coeff == 0:
+                        continue
+                    cr, ci = float(coeff.real), float(coeff.imag)
+                    for c in range(3):
+                        gr, gi = g[(hs, c)]
+                        vr = vi = None
+                        if cr != 0.0:
+                            vr = gr * cr
+                            vi = gi * cr
+                        if ci != 0.0:
+                            vr = (-gi * ci) if vr is None else vr - gi * ci
+                            vi = (gr * ci) if vi is None else vi + gr * ci
+                        add_acc(s, c, vr, vi)
+
+        # ---- spatial directions: neighbours via in-VMEM shifts ----
+        for mu in range(3):
+            # forward: (1 - g) U_mu(x) psi(x+mu)
+            hop(mu, True,
+                get_psi=lambda s, c, r, m=mu: shift_site(
+                    pcomp(pc_ref, s, c, r), m, +1, col),
+                get_link=lambda a, b, r, m=mu: ucomp(Uc_ref, m, a, b, r))
+            # backward: (1 + g) U_mu(x-mu)^dag psi(x-mu)
+            hop(mu, False,
+                get_psi=lambda s, c, r, m=mu: shift_site(
+                    pcomp(pc_ref, s, c, r), m, -1, col),
+                get_link=lambda a, b, r, m=mu: (
+                    shift_site(ucomp(Uc_ref, m, b, a, r), m, -1, col)
+                    if r == 0 else
+                    -shift_site(ucomp(Uc_ref, m, b, a, r), m, -1, col)))
+        # ---- time direction: neighbours from the pipelined t±1 blocks ----
+        hop(3, True,
+            get_psi=lambda s, c, r: pcomp(pp_ref, s, c, r),
+            get_link=lambda a, b, r: ucomp(Uc_ref, 3, a, b, r))
+        hop(3, False,
+            get_psi=lambda s, c, r: pcomp(pm_ref, s, c, r),
+            get_link=lambda a, b, r: (ucomp(Utm_ref, None, b, a, r)
+                                      if r == 0 else
+                                      -ucomp(Utm_ref, None, b, a, r)))
+
+        for s in range(4):
+            for c in range(3):
+                ar, ai = acc[s][c]
+                out_ref[0, (s * 3 + c) * 2 + 0] = ar
+                out_ref[0, (s * 3 + c) * 2 + 1] = ai
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("Y",))
+def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
+                      Y: int) -> jnp.ndarray:
+    """Hopping term on kernel-layout arrays.
+
+    psi_k [T, 24, Z, YX]; U_k [T, 4, 18, Z, YX]; Ut_k [T, 18, Z, YX] is the
+    t-links view U_k[:, 3] (passed separately so the (i-1)%T block pipeline
+    only fetches the t-direction links).
+    """
+    T, _, Z, YX = psi_k.shape
+    X = YX // Y
+
+    kernel = _make_kernel(Z, Y, X)
+
+    spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, 24, Z, YX), lambda i: ((i - 1) % T, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Z, YX), lambda i: ((i + 1) % T, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Z, YX), lambda i: ((i - 1) % T, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    flops = 1320 * T * Z * YX
+    bytes_accessed = 4 * (3 * psi_k.size // T * T  # approx: psi x3
+                          + U_k.size + Ut_k.size + psi_k.size)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],
+        out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+    )(psi_k, psi_k, psi_k, U_k, Ut_k)
