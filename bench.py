@@ -54,23 +54,30 @@ def _time_chain(f, U, psi, n):
 def main():
     from mugiq_tpu.lattice import LatticeGeometry
     from mugiq_tpu.rc.host import gauge_rc, spinor_rc
-    from mugiq_tpu.rc.dirac_rc import dslash_hop_rc
+    import mugiq_tpu.pallas.dslash_kernel as dk
 
     # all complex-valued setup on host (device complex arrays are
-    # unsupported here); only f32 rc arrays ever reach the chip
+    # unsupported here); only f32 arrays ever reach the chip
     geom = LatticeGeometry(DIMS)
     U_rc = gauge_rc(geom, "random", seed=1)
     psi_rc = spinor_rc(geom, seed=0)
+    # rc [...,2] -> planar -> pallas kernel layout
+    U_pl = jnp.transpose(U_rc, (7, 0, 5, 6, 1, 2, 3, 4))
+    psi_pl = jnp.transpose(psi_rc, (6, 4, 5, 0, 1, 2, 3))
+    U_k = dk.to_kernel_gauge(U_pl)
+    Ut_k = U_k[:, 3]
+    psi_k = dk.to_kernel_spinor(psi_pl)
+    Y = DIMS[1]
 
-    f = jax.jit(dslash_hop_rc)
-    _force(f(U_rc, psi_rc))            # compile + warm up
+    f = jax.jit(lambda U, p: dk.dslash_hop_pallas(p, U, Ut_k, Y=Y))
+    _force(f(U_k, psi_k))              # compile + warm up
     print("bench: compiled, timing...", file=sys.stderr)
 
     n1, n2 = 10, 60
     per_op = float("inf")
     for _ in range(3):
-        t1 = _time_chain(f, U_rc, psi_rc, n1)
-        t2 = _time_chain(f, U_rc, psi_rc, n2)
+        t1 = _time_chain(f, U_k, psi_k, n1)
+        t2 = _time_chain(f, U_k, psi_k, n2)
         per_op = min(per_op, (t2 - t1) / (n2 - n1))
 
     vol = geom.volume

@@ -59,14 +59,26 @@ class EigsolveResult:
 
 
 def compute_evecs_mugiq(U: jnp.ndarray, gauge: GaugeParam, inv: InvertParam,
-                        eig: EigParam) -> EigsolveResult:
+                        eig: EigParam,
+                        even_odd: bool = False) -> EigsolveResult:
     """Eigenpairs of the fine Dirac matrix (computeEvecsMuGiq,
-    lib/interface_mugiq.cpp:122-156)."""
+    lib/interface_mugiq.cpp:122-156).
+
+    even_odd=True eigensolves the even-even Schur-preconditioned operator
+    (the reference's pc_solve path, lib/eigsolve_mugiq.cpp:169-181);
+    eigenvectors then live on the even sites of the full-layout field."""
     geom = LatticeGeometry(gauge.dims)
     dirac = make_dirac(U, gauge, inv)
+    op_src = dirac
+    v0_transform = None
+    if even_odd:
+        from .schur import SchurDirac
+        op_src = SchurDirac.from_dirac(dirac)
+        v0_transform = op_src.project_even
     with phase_timer("eigensolve"):
-        solver = Eigensolver(dirac.operator(eig.operator), dirac.field_shape,
-                             dirac.dtype, eig, inv)
+        solver = Eigensolver(op_src.operator(eig.operator), op_src.field_shape,
+                             op_src.dtype, eig, inv,
+                             v0_transform=v0_transform)
         out = solver.solve()
     return EigsolveResult(output=out, dirac=dirac, geom=geom)
 

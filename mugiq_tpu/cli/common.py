@@ -40,6 +40,10 @@ def add_dirac_args(p: argparse.ArgumentParser):
     g.add_argument("--anisotropy", type=float, default=1.0)
     g.add_argument("--mass-normalization", choices=["kappa", "mass"],
                    default="kappa")
+    g.add_argument("--solve-type", choices=["direct", "direct-pc"],
+                   default="direct",
+                   help="direct-pc eigensolves the even-odd preconditioned "
+                        "operator (QUDA_DIRECT_PC_SOLVE analog)")
 
 
 def add_eig_args(p: argparse.ArgumentParser):
@@ -60,6 +64,9 @@ def add_eig_args(p: argparse.ArgumentParser):
     g.add_argument("--eig-seed", type=int, default=1234)
     g.add_argument("--eig-vec-outfile", default="",
                    help="save eigenvectors/values (HDF5)")
+    g.add_argument("--eig-vec-infile", default="",
+                   help="load eigenvectors/values instead of solving "
+                        "(checkpoint resume)")
 
 
 def add_mg_args(p: argparse.ArgumentParser):

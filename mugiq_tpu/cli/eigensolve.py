@@ -35,11 +35,21 @@ def main(argv=None):
     log(f"Computed plaquette is {float(tot):.8f} "
         f"(spatial = {float(sp):.8f}, temporal = {float(tm):.8f})")
 
+    if args.eig_vec_infile:
+        from ..io.gauge_io import load_evecs
+        evecs, evals, sigma, resids, attrs = load_evecs(args.eig_vec_infile)
+        log(f"Loaded {evecs.shape[0]} eigenvectors from "
+            f"{args.eig_vec_infile} (attrs: {dict(attrs)})")
+        for i, lam in enumerate(evals):
+            log(f"Mugiq: Eval[{i:04d}] = {lam.real:+.16e} {lam.imag:+.16e}")
+        return 0
+
     t0 = time.time()
     if args.mugiq_use_mg == "yes" and args.mugiq_compute_coarse == "yes":
         res = api.compute_evecs_mugiq_mg(U, gp, ip, ep, build_mg_param(args))
     else:
-        res = api.compute_evecs_mugiq(U, gp, ip, ep)
+        res = api.compute_evecs_mugiq(U, gp, ip, ep,
+                                      even_odd=args.solve_type == "direct-pc")
     res.print_evals()
     log(f"Time for solution = {time.time() - t0:.3f} s")
     print_profile()

@@ -161,8 +161,16 @@ def load_gauge(spec: str, geom: LatticeGeometry, seed: int = 0, dtype=None):
     if spec.startswith("weak"):
         eps = float(spec.split(":")[1]) if ":" in spec else 0.1
         return fields.weak_gauge(geom, eps=eps, seed=seed, dtype=dtype)
-    U, header = read_nersc_gauge(spec)
-    dims = tuple(int(header[f"DIMENSION_{i}"]) for i in (1, 2, 3, 4))
+    # file: sniff LIME magic vs NERSC header
+    with open(spec, "rb") as f:
+        magic = f.read(12)
+    if magic[:4] == bytes.fromhex("456789ab"):
+        from .lime_io import read_ildg_gauge
+        U, _ = read_ildg_gauge(spec)
+        dims = (U.shape[4], U.shape[3], U.shape[2], U.shape[1])
+    else:
+        U, header = read_nersc_gauge(spec)
+        dims = tuple(int(header[f"DIMENSION_{i}"]) for i in (1, 2, 3, 4))
     if dims != geom.dims:
         raise ValueError(f"gauge file dims {dims} != requested {geom.dims}")
     from ..config import default_complex_dtype

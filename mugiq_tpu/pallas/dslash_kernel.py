@@ -37,23 +37,27 @@ from ..ops.dslash import _projector_decomp
 # ---------------------------------------------------------------------------
 
 def to_kernel_spinor(p):
-    """planar [2,4,3,T,Z,Y,X] -> [T, 24, Z, Y*X] with comp = (s*3+c)*2+r."""
+    """planar [2,4,3,T,Z,Y,X] -> [T, 24, Z, Y*X] with comp = r*12 + s*3 + c.
+
+    r-major component order keeps the re/im halves contiguous on the
+    component axis, so the Krylov algebra can view them without relayout
+    (k[:, :12] / k[:, 12:])."""
     r, s, c, T, Z, Y, X = p.shape
-    q = jnp.transpose(p, (3, 1, 2, 0, 4, 5, 6))      # [T,4,3,2,Z,Y,X]
+    q = jnp.transpose(p, (3, 0, 1, 2, 4, 5, 6))      # [T,2,4,3,Z,Y,X]
     return q.reshape(T, 24, Z, Y * X)
 
 
 def from_kernel_spinor(k, Y):
     T, comp, Z, YX = k.shape
     X = YX // Y
-    q = k.reshape(T, 4, 3, 2, Z, Y, X)
-    return jnp.transpose(q, (3, 1, 2, 0, 4, 5, 6))
+    q = k.reshape(T, 2, 4, 3, Z, Y, X)
+    return jnp.transpose(q, (1, 2, 3, 0, 4, 5, 6))
 
 
 def to_kernel_gauge(u):
-    """planar [2,4,3,3,T,Z,Y,X] -> [T, 4, 18, Z, Y*X], comp = (a*3+b)*2+r."""
+    """planar [2,4,3,3,T,Z,Y,X] -> [T, 4, 18, Z, Y*X], comp = r*9 + a*3 + b."""
     r, mu, a, b, T, Z, Y, X = u.shape
-    q = jnp.transpose(u, (4, 1, 2, 3, 0, 5, 6, 7))   # [T,4,3,3,2,Z,Y,X]
+    q = jnp.transpose(u, (4, 1, 0, 2, 3, 5, 6, 7))   # [T,4,2,3,3,Z,Y,X]
     return q.reshape(T, 4, 18, Z, Y * X)
 
 
@@ -90,12 +94,12 @@ def _make_kernel(Z: int, Y: int, X: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (Z, YX), 1) % X
 
         def pcomp(ref, s, c, r):
-            return ref[0, (s * 3 + c) * 2 + r]
+            return ref[0, r * 12 + s * 3 + c]
 
         def ucomp(ref, mu, a, b, r):
             if mu is None:
-                return ref[0, (a * 3 + b) * 2 + r]
-            return ref[0, mu, (a * 3 + b) * 2 + r]
+                return ref[0, r * 9 + a * 3 + b]
+            return ref[0, mu, r * 9 + a * 3 + b]
 
         acc = [[None] * 3 for _ in range(4)]   # acc[s][c] = (re, im)
 
@@ -193,8 +197,8 @@ def _make_kernel(Z: int, Y: int, X: int):
         for s in range(4):
             for c in range(3):
                 ar, ai = acc[s][c]
-                out_ref[0, (s * 3 + c) * 2 + 0] = ar
-                out_ref[0, (s * 3 + c) * 2 + 1] = ai
+                out_ref[0, s * 3 + c] = ar
+                out_ref[0, 12 + s * 3 + c] = ai
 
     return kernel
 

@@ -1,0 +1,104 @@
+"""Multi-chip pallas dslash: shard_map + explicit ppermute halo exchange.
+
+The XLA path (jnp.roll on sharded arrays) gets its halos from
+compiler-inserted collective-permutes; the pallas kernel is a black box to
+the propagation pass, so here the halo exchange is explicit, exactly the
+reference's ghost-zone pattern (SURVEY.md §2.4 items 1-2) in TPU form:
+
+* lattice sharded over t on a 1D mesh axis 't' (the reference's common
+  --gridsize 1 1 1 N layout);
+* each device ppermutes its boundary time slice to the neighbour over ICI
+  (one slice per direction, 24*Z*YX floats);
+* the local stencil runs the pallas kernel in "extended" mode (non-modular
+  index maps over the halo-extended local array).
+
+The halo transfer is issued before the kernel launch so XLA can overlap it
+with whatever precedes; intra-kernel overlap (double-buffered DMA inside
+the kernel) is a further optimisation.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..pallas.dslash_kernel import _make_kernel
+
+
+@partial(jax.jit, static_argnames=("Y",))
+def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
+                          Ut_shift: jnp.ndarray, Y: int) -> jnp.ndarray:
+    """Local hopping term from a t-halo-extended spinor.
+
+    psi_ext [T_loc+2, 24, Z, YX] (rows 0 and -1 are the received halos);
+    U_loc [T_loc, 4, 18, Z, YX]; Ut_shift [T_loc, 18, Z, YX] with
+    Ut_shift[i] = U_t(global t_i - 1).
+    """
+    Tl = U_loc.shape[0]
+    _, _, Z, YX = psi_ext.shape
+    X = YX // Y
+    kernel = _make_kernel(Z, Y, X)
+
+    spec_m = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i + 1, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Z, YX), lambda i: (i + 2, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Z, YX), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Tl,),
+        in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],
+        out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Z, YX), psi_ext.dtype),
+    )(psi_ext, psi_ext, psi_ext, U_loc, Ut_shift)
+
+
+def make_sharded_dslash(mesh: Mesh, Y: int):
+    """Returns dslash(psi_k, U_k, Ut_k) over t-sharded kernel-layout arrays.
+
+    mesh must have a 't' axis; arrays are [T, ...] sharded on axis 0.
+    """
+    nt = mesh.shape["t"]
+    fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    bwd = [(i, (i - 1) % nt) for i in range(nt)]
+
+    def body(psi_loc, U_loc, Ut_loc):
+        # halo_from_prev = previous device's last slice = psi(t0 - 1)
+        halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=fwd)
+        # halo_from_next = next device's first slice = psi(t_end + 1)
+        halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=bwd)
+        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
+        # U_t at global t-1 per local slice: previous device's last t-link
+        ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=fwd)
+        ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
+        return dslash_hop_pallas_ext(psi_ext, U_loc, ut_shift, Y=Y)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("t"), P("t"), P("t")),
+        out_specs=P("t"),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_kernel_fields(mesh: Mesh, psi_k, U_k, Ut_k):
+    """Place kernel-layout arrays t-sharded on the mesh."""
+    s = NamedSharding(mesh, P("t"))
+    return (jax.device_put(psi_k, s), jax.device_put(U_k, s),
+            jax.device_put(Ut_k, s))

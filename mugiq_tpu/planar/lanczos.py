@@ -1,10 +1,16 @@
-"""Thick-restart Lanczos on planar vectors — the TPU production eigensolver.
+"""Thick-restart Lanczos on real-pair vectors — the TPU production eigensolver.
 
-Krylov basis stored as V[m+1, 2, n] (re/im middle, flattened field minor):
-the minor dim is the large one, so every dot/axpy runs on full (8, 128)
-tiles, and the orthogonalisation/rotation matmuls contract over the basis
-index on the MXU.  Identical restart semantics to eig/lanczos.py (complex
-validation twin); projected matrix carried as [m, m, 2] and eigh'd on host.
+Works on ANY real array layout whose `re_im_axis` has even extent with the
+first half = real parts, second half = imaginary parts:
+
+* planar fields [2, 4, 3, T, Z, Y, X]     (re_im_axis=0)
+* pallas kernel fields [T, 24, Z, Y*X]    (re_im_axis=1; comp = r*12+s*3+c)
+
+so the eigensolve runs directly on the dslash kernel's native layout with
+no relayout per iteration.  Complex dots/axpys decompose into paired real
+einsums over (views of) the two halves; the projected matrix is carried as
+[m, m, 2] and eigh'd on host.  Restart semantics identical to the complex
+eig/lanczos.py (the validation twin).
 """
 
 from dataclasses import dataclass
@@ -19,48 +25,76 @@ import numpy as np
 @dataclass
 class LanczosPlanarResult:
     evals: np.ndarray
-    evecs: jnp.ndarray       # [n_ev, 2, ...field]
+    evecs: jnp.ndarray       # [n_ev, ...field]
     resids: np.ndarray
     n_restarts: int
     converged: bool
 
 
-def _cdots_all(V, w):
-    """d_i = <V_i, w>: V [m1, 2, n], w [2, n] -> [m1, 2]."""
-    re = jnp.einsum("irn,rn->i", V, w)
-    im = jnp.einsum("in,n->i", V[:, 0], w[1]) \
-        - jnp.einsum("in,n->i", V[:, 1], w[0])
-    return jnp.stack([re, im], axis=-1)
-
-
-def _caxpy_sub(w, d, V):
-    """w - sum_i d_i V_i."""
-    dr, di = d[..., 0], d[..., 1]
-    wr = w[0] - jnp.einsum("i,in->n", dr, V[:, 0]) \
-        + jnp.einsum("i,in->n", di, V[:, 1])
-    wi = w[1] - jnp.einsum("i,in->n", dr, V[:, 1]) \
-        - jnp.einsum("i,in->n", di, V[:, 0])
-    return jnp.stack([wr, wi])
+def _split(x, ax):
+    h = x.shape[ax] // 2
+    idx_r = [slice(None)] * x.ndim
+    idx_i = [slice(None)] * x.ndim
+    idx_r[ax] = slice(0, h)
+    idx_i[ax] = slice(h, None)
+    return x[tuple(idx_r)], x[tuple(idx_i)]
 
 
 def _norm(w):
     return jnp.sqrt(jnp.sum(w * w))
 
 
-def _make_cycle(matvec_flat, n, m, rdtype):
+def _make_ops(ax):
+    """Complex vector algebra on real-pair arrays with re/im split on `ax`
+    (for a single vector; basis arrays V have a leading index, split ax+1)."""
+
+    def dots(V, w):
+        """d_i = <V_i, w> -> [m1, 2]."""
+        re = jnp.einsum("i...,...->i", V, w)
+        Vr, Vi = _split(V, ax + 1)
+        wr, wi = _split(w, ax)
+        im = jnp.einsum("i...,...->i", Vr, wi) - jnp.einsum("i...,...->i", Vi, wr)
+        return jnp.stack([re, im], axis=-1)
+
+    def axpy_sub(w, d, V):
+        """w - sum_i d_i V_i."""
+        dr, di = d[..., 0], d[..., 1]
+        Vr, Vi = _split(V, ax + 1)
+        wr, wi = _split(w, ax)
+        wr = wr - jnp.einsum("i,i...->...", dr, Vr) \
+            + jnp.einsum("i,i...->...", di, Vi)
+        wi = wi - jnp.einsum("i,i...->...", dr, Vi) \
+            - jnp.einsum("i,i...->...", di, Vr)
+        return jnp.concatenate([wr, wi], axis=ax)
+
+    def rotate(V, Qr, Qi):
+        """V'_k = sum_i Q[i,k] V_i (complex Q in parts) -> [k, ...]."""
+        Vr, Vi = _split(V, ax + 1)
+        newr = jnp.einsum("ik,i...->k...", Qr, Vr) \
+            - jnp.einsum("ik,i...->k...", Qi, Vi)
+        newi = jnp.einsum("ik,i...->k...", Qr, Vi) \
+            + jnp.einsum("ik,i...->k...", Qi, Vr)
+        return jnp.concatenate([newr, newi], axis=ax + 1)
+
+    return dots, axpy_sub, rotate
+
+
+def _make_cycle(matvec, m, rdtype, ax):
+    dots, axpy_sub, _ = _make_ops(ax)
+
     @partial(jax.jit)
     def cycle(V, Tmat, j0):
         def step(j, carry):
             V, Tmat, _ = carry
-            w = matvec_flat(jax.lax.dynamic_index_in_dim(V, j, keepdims=False))
-            idx = jnp.arange(m + 1)
+            w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False))
+            idx = jnp.arange(V.shape[0])
             mask = (idx <= j)
-            d = _cdots_all(V, w)
+            d = dots(V, w)
             d = jnp.where(mask[:, None], d, 0.0)
-            w = _caxpy_sub(w, d, V)
-            d2 = _cdots_all(V, w)
+            w = axpy_sub(w, d, V)
+            d2 = dots(V, w)
             d2 = jnp.where(mask[:, None], d2, 0.0)
-            w = _caxpy_sub(w, d2, V)
+            w = axpy_sub(w, d2, V)
             dtot = d + d2
             col = dtot[:m]
             colmask = mask[:m]
@@ -86,46 +120,35 @@ def _make_cycle(matvec_flat, n, m, rdtype):
     return cycle
 
 
-def _rotate_basis(V, Q_np, k_or_nev, m, rdtype):
-    """V' = V[:m]^T Q (complex rotation in planar parts); Q_np [m, k]."""
-    Qr = jnp.asarray(Q_np.real, dtype=rdtype)
-    Qi = jnp.asarray(Q_np.imag, dtype=rdtype)
-    Vr, Vi = V[:m, 0], V[:m, 1]
-    newr = jnp.einsum("ik,in->kn", Qr, Vr) - jnp.einsum("ik,in->kn", Qi, Vi)
-    newi = jnp.einsum("ik,in->kn", Qr, Vi) + jnp.einsum("ik,in->kn", Qi, Vr)
-    return jnp.stack([newr, newi], axis=1)     # [k, 2, n]
-
-
-def lanczos_hermitian_planar(
+def lanczos_hermitian_realpair(
     matvec: Callable,
     v0: jnp.ndarray,
     n_ev: int,
     n_kr: int,
+    re_im_axis: int = 0,
     tol: float = 1e-6,
     max_restarts: int = 100,
     which: str = "SR",
     check_interval: int = 1,
     n_keep: Optional[int] = None,
 ) -> LanczosPlanarResult:
-    """v0: planar field [2, ...]; matvec maps planar field -> planar field."""
+    """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields."""
     shape = v0.shape
-    assert shape[0] == 2
+    ax = re_im_axis
+    assert shape[ax] % 2 == 0
     rdtype = v0.dtype
-    n = int(np.prod(shape[1:]))
     m = n_kr
-    assert n_ev < m <= n
     k = n_keep or min(n_ev + max(1, (m - n_ev) // 2), m - 2)
     k = max(k, n_ev)
 
-    def matvec_flat(w):
-        return matvec(w.reshape(shape)).reshape(2, n)
+    _, _, rotate = _make_ops(ax)
+    cycle = _make_cycle(matvec, m, rdtype, ax)
 
-    cycle = _make_cycle(matvec_flat, n, m, rdtype)
-
-    v0f = v0.reshape(2, n)
-    v0f = v0f / _norm(v0f)
-    V = jnp.zeros((m + 1, 2, n), dtype=rdtype).at[0].set(v0f)
+    v0n = v0 / _norm(v0)
+    V = jnp.zeros((m + 1,) + shape, dtype=rdtype).at[0].set(v0n)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)
+
+    rotate_jit = jax.jit(rotate)
 
     j0 = 0
     converged = False
@@ -145,7 +168,9 @@ def lanczos_hermitian_planar(
                 break
         if restart == max_restarts - 1:
             break
-        Vk = _rotate_basis(V, q[:, sel], k, m, rdtype)
+        Qs = q[:, sel]
+        Vk = rotate_jit(V[:m], jnp.asarray(Qs.real, rdtype),
+                        jnp.asarray(Qs.imag, rdtype))
         V = V.at[:k].set(Vk)
         V = V.at[k].set(V[m])
         Tn = np.zeros((m, m, 2), dtype=np.asarray(Tmat).dtype)
@@ -154,13 +179,22 @@ def lanczos_hermitian_planar(
         j0 = k
 
     sel_np = np.asarray(sel)[:n_ev]
-    evecs = _rotate_basis(V, q[:, sel_np], n_ev, m, rdtype)
-    nrm = jnp.sqrt(jnp.sum(evecs * evecs, axis=(1, 2), keepdims=True))
+    Qs = q[:, sel_np]
+    evecs = rotate_jit(V[:m], jnp.asarray(Qs.real, rdtype),
+                       jnp.asarray(Qs.imag, rdtype))
+    nrm = jnp.sqrt(jnp.sum(evecs * evecs,
+                           axis=tuple(range(1, evecs.ndim)), keepdims=True))
     evecs = evecs / nrm
     return LanczosPlanarResult(
         evals=theta[sel_np],
-        evecs=evecs.reshape((n_ev, 2) + shape[1:]),
+        evecs=evecs,
         resids=np.abs(float(beta_m) * q[m - 1, sel_np]),
         n_restarts=restart + 1,
         converged=converged,
     )
+
+
+def lanczos_hermitian_planar(matvec, v0, n_ev, n_kr, **kw):
+    """Planar-layout wrapper (re/im on axis 0)."""
+    return lanczos_hermitian_realpair(matvec, v0, n_ev, n_kr, re_im_axis=0,
+                                      **kw)

@@ -1,0 +1,89 @@
+"""Pallas kernel (interpret mode on CPU): dslash, kernel-layout operator,
+and the kernel-layout production eigensolve."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mugiq_tpu import fields
+from mugiq_tpu.lattice import LatticeGeometry
+from mugiq_tpu.params import DslashType, GaugeParam, InvertParam
+from mugiq_tpu.dirac import make_dirac, dense_matrix
+from mugiq_tpu.planar.convert import (spinor_to_planar, spinor_from_planar,
+                                      gauge_to_planar)
+import mugiq_tpu.pallas.dslash_kernel as dk
+from mugiq_tpu.pallas.dirac_kernel import WilsonDiracKernel
+from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+
+GEOM = LatticeGeometry((8, 4, 4, 8))   # X=8, Y=4 -> YX=32
+Y = 4
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Run all pallas_call in interpreter mode (CPU backend)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dk.pl, "pallas_call", interp)
+
+
+@pytest.fixture(scope="module")
+def dirac():
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.random_gauge(GEOM, seed=1, dtype=jnp.complex64)
+    return make_dirac(U, gp, ip)
+
+
+def _kernel_fields(dirac, seed=0):
+    psi = fields.random_spinor(GEOM, seed=seed, dtype=jnp.complex64)
+    psi_k = dk.to_kernel_spinor(spinor_to_planar(psi))
+    U_k = dk.to_kernel_gauge(gauge_to_planar(dirac.U))
+    return psi, psi_k, U_k
+
+
+def test_pallas_dslash_matches_complex(dirac):
+    from mugiq_tpu.ops.dslash import dslash_hop
+    psi, psi_k, U_k = _kernel_fields(dirac)
+    ref = np.asarray(dslash_hop(dirac.U, psi))
+    out_k = dk.dslash_hop_pallas(psi_k, U_k, U_k[:, 3], Y=Y)
+    got = spinor_from_planar(dk.from_kernel_spinor(out_k, Y=Y))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_kernel_operator_matches_complex(dirac):
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=2)
+    op = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=Y)
+    for name in ("M", "Mdag", "MdagM"):
+        ref = np.asarray(getattr(dirac, name)(psi))
+        out_k = getattr(op, name)(psi_k)
+        got = spinor_from_planar(dk.from_kernel_spinor(out_k, Y=Y))
+        np.testing.assert_allclose(got, ref, atol=2e-4, err_msg=name)
+
+
+def test_kernel_layout_eigensolve():
+    """Production path end to end on a tiny lattice: TRLM on the kernel
+    layout with the pallas MdagM vs dense eigh (f32 tolerances)."""
+    geom = LatticeGeometry((4, 4, 2, 4))   # n = 1536: cheap dense reference
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=8)
+    dirac = make_dirac(U, gp, ip)
+    psi = fields.random_spinor(geom, seed=3, dtype=jnp.complex64)
+    psi_k = dk.to_kernel_spinor(spinor_to_planar(psi))
+    U_k = dk.to_kernel_gauge(gauge_to_planar(dirac.U))
+    op = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=4)
+    res = lanczos_hermitian_realpair(op.MdagM, psi_k, n_ev=3, n_kr=16,
+                                     re_im_axis=1, tol=5e-5,
+                                     max_restarts=100, which="SR")
+    assert res.converged
+    A = np.asarray(dense_matrix(dirac.MdagM, dirac.field_shape,
+                                jnp.complex128))
+    ref = np.linalg.eigvalsh((A + A.conj().T) / 2)[:3]
+    np.testing.assert_allclose(np.sort(res.evals), ref, rtol=1e-3)

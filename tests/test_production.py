@@ -1,0 +1,113 @@
+"""Production pipeline (interpret-mode pallas on CPU) vs the complex
+validation pipeline on the same configuration."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mugiq_tpu import fields
+from mugiq_tpu.lattice import LatticeGeometry
+from mugiq_tpu.params import (DslashType, EigOperator, EigParam, GaugeParam,
+                              InvertParam, LoopParam)
+
+GEOM = LatticeGeometry((8, 4, 4, 8))
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import mugiq_tpu.pallas.dslash_kernel as dkm
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dkm.pl, "pallas_call", interp)
+
+
+def test_planar_displace_matches_complex():
+    from mugiq_tpu.displace import covariant_displace
+    from mugiq_tpu.planar.displace import covariant_displace_planar
+    from mugiq_tpu.planar.convert import (spinor_to_planar,
+                                          spinor_from_planar, gauge_to_planar)
+    U = fields.random_gauge(GEOM, seed=4)
+    psi = fields.random_spinor(GEOM, seed=5)
+    for ds in ("+x", "-y", "+z", "-t"):
+        ref = np.asarray(covariant_displace(U, psi, ds))
+        got = spinor_from_planar(covariant_displace_planar(
+            gauge_to_planar(U, jnp.float64), spinor_to_planar(psi, jnp.float64),
+            ds))
+        np.testing.assert_allclose(got, ref, atol=1e-12, err_msg=ds)
+
+
+def test_production_contraction_matches_complex():
+    from mugiq_tpu.ops.contract import loop_contract
+    from mugiq_tpu.production import loop_contract_production
+    from mugiq_tpu.planar.convert import spinor_to_planar
+    vs = jnp.stack([fields.random_spinor(GEOM, seed=s) for s in range(3)])
+    w = jnp.asarray([0.5, 1.0, 2.0])
+    ref = np.asarray(loop_contract(vs, vs, w))
+    vs_p = jnp.stack([spinor_to_planar(vs[i], jnp.float64) for i in range(3)])
+    got_p = np.asarray(loop_contract_production(vs_p, vs_p, w))
+    got = got_p[0] + 1j * got_p[1]
+    np.testing.assert_allclose(got, ref, atol=1e-11)
+
+
+def test_production_pipeline_vs_validation(tmp_path):
+    """Full production flow vs the complex-path compute_loop on the same
+    gauge: eigenvalues, sigma, and momentum-space loops agree at f32 level."""
+    from mugiq_tpu.api import compute_loop
+    from mugiq_tpu.production import compute_loop_production
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.115)
+    ep = EigParam(n_ev=3, n_kr=16, tol=1e-9, max_restarts=300,
+                  operator=EigOperator.MdagM)
+    lp = LoopParam(momenta=[(0, 0, 0), (1, 0, 0)], do_mom_proj=True,
+                   do_nonlocal=True, disp_entries=["+z:1"])
+    U = fields.weak_gauge(GEOM, eps=0.2, seed=13)
+
+    ref_result, ref_eig = compute_loop(U, gp, ip, ep, lp)
+
+    ep_prod = EigParam(n_ev=3, n_kr=16, tol=5e-5, max_restarts=300,
+                       operator=EigOperator.MdagM)
+    prod = compute_loop_production(np.asarray(U), gp, ip, ep_prod, lp)
+    assert prod.converged
+
+    # f32 accumulation + a near-degenerate cluster (gaps ~ the f32 residual
+    # tolerance) limit eigenvalue agreement to ~1e-3 relative
+    np.testing.assert_allclose(np.sort(prod.evals),
+                               np.sort(ref_eig.evals.real), rtol=5e-3)
+    np.testing.assert_allclose(np.sort(prod.sigma),
+                               np.sort(ref_eig.sigma), rtol=3e-3)
+    # loop data: compare the g=identity ultra-local p=0 channel (eigenvector
+    # phase/ordering ambiguities cancel in the trace)
+    # The deflation subspace cuts through a near-degenerate cluster; with
+    # f32 residuals ~ the cluster gap the 3rd eigenvector can rotate into
+    # the 4th, so the full-pipeline comparison is structural (within ~10%).
+    ref_mom = ref_result.data_mom
+    np.testing.assert_allclose(prod.data_mom[0, 0, 15].real,
+                               ref_mom[0, 0, 15].real, rtol=0.1, atol=0.02)
+
+    # Exact measurement check: inject the validation eigenvectors into the
+    # production measurement chain — must agree at f32 level.
+    from mugiq_tpu.production import (loop_contract_production,
+                                      momentum_project_production)
+    from mugiq_tpu.planar.displace import covariant_displace_planar
+    from mugiq_tpu.planar.phase import phase_matrix_planar, map_gamma_g5_planar
+    from mugiq_tpu.planar.convert import spinor_to_planar, gauge_to_planar
+
+    evecs_pl = jnp.stack([spinor_to_planar(ref_eig.evecs[i])
+                          for i in range(3)])
+    inv_sigma = jnp.asarray(1.0 / ref_eig.sigma, dtype=jnp.float32)
+    U_pl = gauge_to_planar(U)
+    slots = [loop_contract_production(evecs_pl, evecs_pl, inv_sigma)]
+    vR = covariant_displace_planar(U_pl, evecs_pl, "+z")
+    slots.append(loop_contract_production(evecs_pl, vR, inv_sigma))
+    data_pos = jnp.stack(slots)
+    ph = phase_matrix_planar(GEOM, lp.momenta, int(lp.ft_sign))
+    lgtp = np.asarray(momentum_project_production(
+        map_gamma_g5_planar(data_pos), ph))
+    got = np.transpose(lgtp[:, 0] + 1j * lgtp[:, 1], (3, 0, 1, 2))
+    np.testing.assert_allclose(got, ref_mom, rtol=2e-4, atol=1e-3)
