@@ -71,7 +71,15 @@ def _qr(mu, forward):
     return q, r
 
 
-def _make_kernel(Z: int, Y: int, X: int):
+def make_slice_compute(Z: int, Y: int, X: int):
+    """Per-time-slice dslash body, parameterised over component getters.
+
+    Returns compute(pm, pc, pp, uc, utm, write) where pm/pc/pp(s, c, r) give
+    the t-1 / t / t+1 neighbour spinor components as [Z, YX] arrays,
+    uc(mu, a, b, r) / utm(a, b, r) the link components, and
+    write(s, c, re, im) stores the result.  Shared between the
+    BlockSpec-pipelined kernel and the manual-DMA t-blocked kernel.
+    """
     YX = Y * X
 
     def roll(a, shift: int, axis: int):
@@ -90,16 +98,8 @@ def _make_kernel(Z: int, Y: int, X: int):
             return roll(a, -sign * X, axis=1)
         return roll(a, -sign, axis=0)
 
-    def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
+    def compute(pm, pc, pp, uc, utm, write):
         col = jax.lax.broadcasted_iota(jnp.int32, (Z, YX), 1) % X
-
-        def pcomp(ref, s, c, r):
-            return ref[0, r * 12 + s * 3 + c]
-
-        def ucomp(ref, mu, a, b, r):
-            if mu is None:
-                return ref[0, r * 9 + a * 3 + b]
-            return ref[0, mu, r * 9 + a * 3 + b]
 
         acc = [[None] * 3 for _ in range(4)]   # acc[s][c] = (re, im)
 
@@ -173,32 +173,47 @@ def _make_kernel(Z: int, Y: int, X: int):
         for mu in range(3):
             # forward: (1 - g) U_mu(x) psi(x+mu)
             hop(mu, True,
-                get_psi=lambda s, c, r, m=mu: shift_site(
-                    pcomp(pc_ref, s, c, r), m, +1, col),
-                get_link=lambda a, b, r, m=mu: ucomp(Uc_ref, m, a, b, r))
+                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, +1, col),
+                get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
             # backward: (1 + g) U_mu(x-mu)^dag psi(x-mu)
             hop(mu, False,
-                get_psi=lambda s, c, r, m=mu: shift_site(
-                    pcomp(pc_ref, s, c, r), m, -1, col),
+                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, -1, col),
                 get_link=lambda a, b, r, m=mu: (
-                    shift_site(ucomp(Uc_ref, m, b, a, r), m, -1, col)
+                    shift_site(uc(m, b, a, r), m, -1, col)
                     if r == 0 else
-                    -shift_site(ucomp(Uc_ref, m, b, a, r), m, -1, col)))
-        # ---- time direction: neighbours from the pipelined t±1 blocks ----
+                    -shift_site(uc(m, b, a, r), m, -1, col)))
+        # ---- time direction: neighbours from the t±1 slices ----
         hop(3, True,
-            get_psi=lambda s, c, r: pcomp(pp_ref, s, c, r),
-            get_link=lambda a, b, r: ucomp(Uc_ref, 3, a, b, r))
+            get_psi=lambda s, c, r: pp(s, c, r),
+            get_link=lambda a, b, r: uc(3, a, b, r))
         hop(3, False,
-            get_psi=lambda s, c, r: pcomp(pm_ref, s, c, r),
-            get_link=lambda a, b, r: (ucomp(Utm_ref, None, b, a, r)
-                                      if r == 0 else
-                                      -ucomp(Utm_ref, None, b, a, r)))
+            get_psi=lambda s, c, r: pm(s, c, r),
+            get_link=lambda a, b, r: (utm(b, a, r) if r == 0 else -utm(b, a, r)))
 
         for s in range(4):
             for c in range(3):
                 ar, ai = acc[s][c]
-                out_ref[0, s * 3 + c] = ar
-                out_ref[0, 12 + s * 3 + c] = ai
+                write(s, c, ar, ai)
+
+    return compute
+
+
+def _make_kernel(Z: int, Y: int, X: int):
+    """BlockSpec-pipelined kernel (one t-slice per grid step)."""
+    compute = make_slice_compute(Z, Y, X)
+
+    def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
+        def pref(ref):
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c]
+
+        def write(s, c, ar, ai):
+            out_ref[0, s * 3 + c] = ar
+            out_ref[0, 12 + s * 3 + c] = ai
+
+        compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
+                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b],
+                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b],
+                write)
 
     return kernel
 

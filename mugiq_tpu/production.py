@@ -145,11 +145,25 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     v0 = jnp.asarray(rng.standard_normal(
         (geom.Lt, 24, geom.Lz, geom.Ly * geom.Lx)), dtype=jnp.float32)
 
+    # optional Chebyshev acceleration (works unchanged on real-pair fields:
+    # only matvec + real-scalar algebra)
+    it_op = op.MdagM
+    it_which = eig.spectrum.value
+    if eig.use_poly_acc:
+        from .eig.lanczos import chebyshev_op, estimate_spectral_edge
+        a_max = eig.a_max
+        if a_max <= 0:
+            a_max = estimate_spectral_edge(jax.jit(op.MdagM), v0)
+        it_op = chebyshev_op(op.MdagM, eig.poly_deg, eig.a_min, a_max)
+        it_which = "LR"
+        log(f"production eigensolve: Chebyshev deg={eig.poly_deg} "
+            f"window=[{eig.a_min}, {a_max:.4f}]")
+
     with phase_timer("eigensolve"):
         res = lanczos_hermitian_realpair(
-            op.MdagM, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
+            it_op, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
             tol=eig.tol, max_restarts=eig.max_restarts,
-            which=eig.spectrum.value, check_interval=eig.check_interval)
+            which=it_which, check_interval=eig.check_interval)
     log(f"production eigensolve: converged={res.converged} "
         f"restarts={res.n_restarts}")
 

@@ -54,6 +54,24 @@ def test_production_contraction_matches_complex():
     np.testing.assert_allclose(got, ref, atol=1e-11)
 
 
+def test_production_chebyshev_acceleration():
+    """Chebyshev-accelerated production eigensolve on real-pair fields."""
+    from mugiq_tpu.production import compute_loop_production
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.115)
+    ep = EigParam(n_ev=3, n_kr=16, tol=5e-5, max_restarts=200,
+                  operator=EigOperator.MdagM, use_poly_acc=True,
+                  poly_deg=16, a_min=0.5, a_max=0.0)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=True)
+    U = fields.weak_gauge(GEOM, eps=0.2, seed=13)
+    prod = compute_loop_production(np.asarray(U), gp, ip, ep, lp)
+    assert prod.converged
+    # same gauge/seed as the pipeline test: ground level ~0.025
+    assert 0.02 < prod.evals[0] < 0.03
+    assert np.all(np.diff(np.sort(prod.evals)) >= 0)
+
+
 def test_production_pipeline_vs_validation(tmp_path):
     """Full production flow vs the complex-path compute_loop on the same
     gauge: eigenvalues, sigma, and momentum-space loops agree at f32 level."""
