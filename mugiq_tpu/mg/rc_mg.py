@@ -1,0 +1,303 @@
+"""Multigrid on the rc (real-pair) representation — the TPU production MG.
+
+Mirrors mg/transfer.py + mg/coarse.py + mg/mg.py with no complex dtypes
+anywhere (this backend rejects them).  rc fields carry a trailing (re, im)
+axis — slow-tiled on TPU but MG setup and coarse volumes are small; the
+fine-level hot work (null-vector smoothing) runs on the pallas kernel path
+through the caller.
+
+Complex QR is a batched modified Gram-Schmidt in rc arithmetic (jnp.linalg
+has no complex QR without complex dtypes); everything else is ceinsum.
+Validated against the complex MG (Galerkin identity, transfer
+orthonormality) in tests.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import EigOperator, MGParam
+from ..rc.cplx import ceinsum
+from ..utils import log, phase_timer
+from .transfer import BlockGeometry, block_edge_mask
+
+_MU_AXIS = (3, 2, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# rc block aggregation
+# ---------------------------------------------------------------------------
+
+def _block_agg_rc(psi: jnp.ndarray, g: BlockGeometry) -> jnp.ndarray:
+    """[T,Z,Y,X,ns,nc,2] -> [Tc,Zc,Yc,Xc,ns_c,agg,2]."""
+    T, Z, Y, X = psi.shape[:4]
+    bx, by, bz, bt = g.block
+    r = psi.reshape(T // bt, bt, Z // bz, bz, Y // by, by, X // bx, bx,
+                    g.ns_coarse, g.spin_block, g.nc_fine, 2)
+    r = r.transpose(0, 2, 4, 6, 8, 1, 3, 5, 7, 9, 10, 11)
+    return r.reshape(r.shape[:5] + (g.agg, 2))
+
+
+def _unblock_agg_rc(phi: jnp.ndarray, g: BlockGeometry) -> jnp.ndarray:
+    Tc, Zc, Yc, Xc = phi.shape[:4]
+    bx, by, bz, bt = g.block
+    r = phi.reshape(Tc, Zc, Yc, Xc, g.ns_coarse, bt, bz, by, bx,
+                    g.spin_block, g.nc_fine, 2)
+    r = r.transpose(0, 5, 1, 6, 2, 7, 3, 8, 4, 9, 10, 11)
+    return r.reshape(Tc * bt, Zc * bz, Yc * by, Xc * bx,
+                     g.ns_coarse * g.spin_block, g.nc_fine, 2)
+
+
+def _mgs_orthonormalize_rc(V: jnp.ndarray) -> jnp.ndarray:
+    """Batched complex modified Gram-Schmidt on rc columns.
+
+    V [..., agg, nvec, 2] -> column-orthonormal (complex) basis."""
+    nvec = V.shape[-2]
+    cols = [V[..., j, :] for j in range(nvec)]          # each [..., agg, 2]
+    for j in range(nvec):
+        for i in range(j):
+            qi = cols[i]
+            # d = <q_i, v_j> per batch element
+            dr = jnp.sum(qi * cols[j], axis=(-2, -1))
+            di = jnp.sum(qi[..., 0] * cols[j][..., 1]
+                         - qi[..., 1] * cols[j][..., 0], axis=-1)
+            cr = (dr[..., None] * qi[..., 0] - di[..., None] * qi[..., 1])
+            ci = (dr[..., None] * qi[..., 1] + di[..., None] * qi[..., 0])
+            cols[j] = cols[j] - jnp.stack([cr, ci], axis=-1)
+        nrm = jnp.sqrt(jnp.sum(cols[j] * cols[j], axis=(-2, -1),
+                               keepdims=True))
+        cols[j] = cols[j] / jnp.maximum(nrm, jnp.finfo(V.dtype).tiny)
+    return jnp.stack(cols, axis=-2)
+
+
+@dataclass
+class TransferRC:
+    geom: BlockGeometry
+    V: jnp.ndarray       # [Tc,Zc,Yc,Xc,ns_c,agg,nvec,2]
+
+    @classmethod
+    def build(cls, null_vecs_rc: jnp.ndarray, block, spin_block) -> "TransferRC":
+        """null_vecs_rc: [n_vec, T, Z, Y, X, ns, nc, 2]."""
+        n_vec = null_vecs_rc.shape[0]
+        T, Z, Y, X, ns, nc = null_vecs_rc.shape[1:7]
+        g = BlockGeometry(fine_dims=(X, Y, Z, T), block=tuple(block),
+                          ns_fine=ns, nc_fine=nc, spin_block=spin_block)
+        blocked = jax.vmap(lambda v: _block_agg_rc(v, g))(null_vecs_rc)
+        Vraw = jnp.moveaxis(blocked, 0, -2)   # [...,ns_c,agg,nvec,2]
+        V = _mgs_orthonormalize_rc(Vraw)
+        return cls(geom=g, V=V)
+
+    @property
+    def coarse_field_shape(self):
+        Xc, Yc, Zc, Tc = self.geom.coarse_dims
+        return (Tc, Zc, Yc, Xc, self.geom.ns_coarse, self.V.shape[-2], 2)
+
+    def restrict(self, psi, mask_agg=None):
+        h = _block_agg_rc(psi, self.geom)
+        if mask_agg is not None:
+            h = h * mask_agg.astype(psi.dtype)[:, None]
+        return ceinsum("tzyxsav,tzyxsa->tzyxsv", self.V, h, conj_a=True)
+
+    def prolong(self, phi):
+        h = ceinsum("tzyxsav,tzyxsv->tzyxsa", self.V, phi)
+        return _unblock_agg_rc(h, self.geom)
+
+    def probe_fine_vectors(self):
+        ns_c = self.geom.ns_coarse
+        n_vec = self.V.shape[-2]
+        probes = []
+        for s in range(ns_c):
+            for v in range(n_vec):
+                e = jnp.zeros(self.coarse_field_shape, dtype=self.V.dtype)
+                e = e.at[..., s, v, 0].set(1.0)
+                probes.append(self.prolong(e))
+        return jnp.stack(probes)
+
+
+# ---------------------------------------------------------------------------
+# rc coarse stencil operator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StencilOperatorRC:
+    D: jnp.ndarray                # [T,Z,Y,X,n,n,2]
+    Yp: List[jnp.ndarray]
+    Ym: List[jnp.ndarray]
+    ns: int
+    nc: int
+
+    @property
+    def field_shape(self):
+        return self.D.shape[:4] + (self.ns, self.nc, 2)
+
+    @property
+    def dtype(self):
+        return self.D.dtype
+
+    def _flat(self, phi):
+        return phi.reshape(phi.shape[:4] + (self.ns * self.nc, 2))
+
+    def _unflat(self, f):
+        return f.reshape(f.shape[:4] + (self.ns, self.nc, 2))
+
+    def M(self, phi):
+        f = self._flat(phi)
+        out = ceinsum("tzyxij,tzyxj->tzyxi", self.D, f)
+        for mu in range(4):
+            ax = _MU_AXIS[mu]
+            out = out + ceinsum("tzyxij,tzyxj->tzyxi", self.Yp[mu],
+                                jnp.roll(f, -1, axis=ax))
+            out = out + ceinsum("tzyxij,tzyxj->tzyxi", self.Ym[mu],
+                                jnp.roll(f, +1, axis=ax))
+        return self._unflat(out)
+
+    def Mdag(self, phi):
+        f = self._flat(phi)
+
+        def ct(link):
+            return jnp.swapaxes(link, -2, -3) * jnp.asarray(
+                [1.0, -1.0], dtype=link.dtype)
+
+        out = ceinsum("tzyxij,tzyxj->tzyxi", ct(self.D), f)
+        for mu in range(4):
+            ax = _MU_AXIS[mu]
+            out = out + ceinsum("tzyxij,tzyxj->tzyxi",
+                                ct(jnp.roll(self.Ym[mu], -1, axis=ax)),
+                                jnp.roll(f, -1, axis=ax))
+            out = out + ceinsum("tzyxij,tzyxj->tzyxi",
+                                ct(jnp.roll(self.Yp[mu], +1, axis=ax)),
+                                jnp.roll(f, +1, axis=ax))
+        return self._unflat(out)
+
+    def MdagM(self, phi):
+        return self.Mdag(self.M(phi))
+
+    def MMdag(self, phi):
+        return self.M(self.Mdag(phi))
+
+    def operator(self, which: EigOperator) -> Callable:
+        return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
+                EigOperator.MdagM: self.MdagM, EigOperator.MMdag: self.MMdag}[which]
+
+    def diag_term(self, phi):
+        return self._unflat(ceinsum("tzyxij,tzyxj->tzyxi", self.D,
+                                    self._flat(phi)))
+
+    def hop_term(self, mu, sign, phi):
+        f = self._flat(phi)
+        ax = _MU_AXIS[mu]
+        link = self.Yp[mu] if sign > 0 else self.Ym[mu]
+        return self._unflat(ceinsum("tzyxij,tzyxj->tzyxi", link,
+                                    jnp.roll(f, -sign, axis=ax)))
+
+
+def galerkin_coarse_operator_rc(fine_op, transfer: TransferRC
+                                ) -> StencilOperatorRC:
+    """Exact R A P in rc arithmetic (same probing scheme as mg/coarse.py)."""
+    g = transfer.geom
+    ns_c = g.ns_coarse
+    n_vec = transfer.V.shape[-2]
+    n = ns_c * n_vec
+
+    probes = transfer.probe_fine_vectors()
+
+    def restrict_cols(fields, mask=None):
+        r = jax.vmap(lambda h: transfer.restrict(h, mask))(fields)
+        r = jnp.moveaxis(r, 0, -2)          # [...,ns_c,n_vec,ncol,2]
+        return r.reshape(r.shape[:4] + (n, n, 2))
+
+    dia = restrict_cols(jax.vmap(fine_op.diag_term)(probes))
+    Yp, Ym = [], []
+    for mu in range(4):
+        h_fwd = jax.vmap(lambda p, m=mu: fine_op.hop_term(m, +1, p))(probes)
+        h_bwd = jax.vmap(lambda p, m=mu: fine_op.hop_term(m, -1, p))(probes)
+        mask_fwd = block_edge_mask(g, mu, +1)
+        mask_bwd = block_edge_mask(g, mu, -1)
+        Yp.append(restrict_cols(h_fwd, mask_fwd))
+        Ym.append(restrict_cols(h_bwd, mask_bwd))
+        dia = dia + restrict_cols(h_fwd, 1.0 - mask_fwd) \
+                  + restrict_cols(h_bwd, 1.0 - mask_bwd)
+
+    return StencilOperatorRC(D=dia, Yp=Yp, Ym=Ym, ns=ns_c, nc=n_vec)
+
+
+# ---------------------------------------------------------------------------
+# production MG environment
+# ---------------------------------------------------------------------------
+
+def _cg_realpair(matvec, b, iters):
+    """CG for a Hermitian-PD operator on real-pair fields (all CG scalars
+    are real for HPD systems, so plain real dots suffice)."""
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    def body(k, state):
+        x, r, p, rs = state
+        ap = matvec(p)
+        alpha = rs / dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = dot(r, r)
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    x, r, p, rs = jax.lax.fori_loop(0, iters, body, (x0, r0, r0, dot(r0, r0)))
+    return x
+
+
+@dataclass
+class MGEnvRC:
+    level_ops: List[object]      # [0] = fine rc/planar op, rest StencilOperatorRC
+    transfers: List[TransferRC]
+    params: MGParam
+
+    @classmethod
+    def build(cls, fine_op_rc, params: MGParam, seed_shape_dtype=None) -> "MGEnvRC":
+        """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
+        (e.g. WilsonDiracRC)."""
+        n_coarse = params.n_level - 1
+        level_ops = [fine_op_rc]
+        transfers = []
+        for lev in range(n_coarse):
+            op = level_ops[-1]
+            fshape = op.field_shape
+            ns = fshape[4]
+            spin_block = 2 if ns == 4 else 1
+            rng = np.random.default_rng(params.setup_seed + lev)
+            with phase_timer(f"mg-rc-null-vectors-l{lev}"):
+                b = jnp.asarray(rng.standard_normal(
+                    (params.n_vec[lev],) + tuple(fshape)), dtype=op.dtype)
+                solve = jax.jit(jax.vmap(
+                    lambda rhs: _cg_realpair(op.MdagM, rhs,
+                                             params.setup_iters)))
+                B = solve(b)
+                nrm = jnp.sqrt(jnp.sum(
+                    B * B, axis=tuple(range(1, B.ndim)), keepdims=True))
+                B = B / nrm
+            with phase_timer(f"mg-rc-transfer-l{lev}"):
+                tr = TransferRC.build(B, params.geo_block_size[lev], spin_block)
+            with phase_timer(f"mg-rc-galerkin-l{lev}"):
+                coarse = galerkin_coarse_operator_rc(op, tr)
+            log(f"MGEnvRC: level {lev + 1} built — coarse dims "
+                f"{tr.geom.coarse_dims}, n={coarse.ns * coarse.nc}")
+            transfers.append(tr)
+            level_ops.append(coarse)
+        return cls(level_ops=level_ops, transfers=transfers, params=params)
+
+    @property
+    def coarsest_op(self):
+        return self.level_ops[-1]
+
+    def prolongate(self, phi):
+        for tr in reversed(self.transfers):
+            phi = tr.prolong(phi)
+        return phi
+
+    def prolongate_batch(self, phis):
+        return jax.jit(jax.vmap(self.prolongate))(phis)

@@ -7,13 +7,44 @@ transposes.
 """
 
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..params import EigOperator
 from .dslash_kernel import dslash_hop_pallas
+
+
+def apply_clover_kernel(A_blocks: jnp.ndarray, psi_k: jnp.ndarray) -> jnp.ndarray:
+    """Clover application on kernel-layout fields, unrolled.
+
+    A_blocks [T, 2chiral, 6, 6, 2rc, Z, YX] (clover_np.clover_chiral_blocks_np);
+    psi_k [T, 24, Z, YX] with comp = r*12 + s*3 + c, so each chirality block
+    is a contiguous 6-component range.  Fully unrolled 6x6 complex matvec per
+    chirality (per-site dot_generals are pathological on TPU).
+    """
+    pr = psi_k[:, :12]
+    pi = psi_k[:, 12:]
+    out_r = [None] * 12
+    out_i = [None] * 12
+    for chi in range(2):
+        for k in range(6):
+            acc_r = acc_i = None
+            for j in range(6):
+                ar = A_blocks[:, chi, k, j, 0]
+                ai = A_blocks[:, chi, k, j, 1]
+                vr = pr[:, 6 * chi + j]
+                vi = pi[:, 6 * chi + j]
+                tr = ar * vr - ai * vi
+                ti = ar * vi + ai * vr
+                acc_r = tr if acc_r is None else acc_r + tr
+                acc_i = ti if acc_i is None else acc_i + ti
+            out_r[6 * chi + k] = acc_r
+            out_i[6 * chi + k] = acc_i
+    rr = jnp.stack(out_r, axis=1)      # [T, 12, Z, YX]
+    ii = jnp.stack(out_i, axis=1)
+    return jnp.concatenate([rr, ii], axis=1)   # comp = r*12 + s*3 + c
 
 
 def _g5_signs():
@@ -28,10 +59,15 @@ def _g5_signs():
 
 @dataclass
 class WilsonDiracKernel:
-    """Plain-Wilson production operator (clover pending a planar clover)."""
+    """Wilson(-clover) production operator on the kernel layout.
+
+    A_blocks (optional): chiral-block clover matrix from
+    clover_np.clover_chiral_blocks_np; applied with the unrolled chiral
+    6x6 matvec (in-pallas clover is a future optimisation)."""
     U_k: jnp.ndarray      # [T, 4, 18, Z, YX], phased links, kernel layout
     kappa: float
     Y: int                # Y extent (to un-fuse YX when needed)
+    A_blocks: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         self.Ut_k = self.U_k[:, 3]
@@ -40,7 +76,9 @@ class WilsonDiracKernel:
 
     def M(self, psi):
         hop = dslash_hop_pallas(psi, self.U_k, self.Ut_k, Y=self.Y)
-        return psi - self.kappa * hop
+        diag = (psi if self.A_blocks is None
+                else apply_clover_kernel(self.A_blocks, psi))
+        return diag - self.kappa * hop
 
     def Mdag(self, psi):
         return self._g5 * self.M(self._g5 * psi)

@@ -50,13 +50,19 @@ def _planar_gauge_np(U_np: np.ndarray, antiperiodic_t: bool) -> np.ndarray:
 
 def build_kernel_dirac(U_np: np.ndarray, gauge: GaugeParam,
                        inv: InvertParam) -> WilsonDiracKernel:
-    if inv.dslash_type != DslashType.WILSON:
-        raise NotImplementedError(
-            "production path supports Wilson only (clover pending)")
     geom = LatticeGeometry(gauge.dims)
     U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t))
     U_k = dk.to_kernel_gauge(U_pl)
-    return WilsonDiracKernel(U_k=U_k, kappa=inv.kappa, Y=geom.dims[1])
+    A_blocks = None
+    if inv.dslash_type == DslashType.CLOVER_WILSON:
+        from .clover_np import clover_field_np, clover_chiral_blocks_np
+        u = np.asarray(U_np).copy()
+        if gauge.antiperiodic_t:
+            u[3, -1] *= -1.0
+        A = clover_field_np(u, inv.kappa, inv.csw)
+        A_blocks = jnp.asarray(clover_chiral_blocks_np(A))
+    return WilsonDiracKernel(U_k=U_k, kappa=inv.kappa, Y=geom.dims[1],
+                             A_blocks=A_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -129,13 +135,40 @@ class ProductionResult:
     n_restarts: int
 
 
+def build_rc_dirac(U_np: np.ndarray, gauge: GaugeParam, inv: InvertParam):
+    """WilsonDiracRC from a complex numpy gauge (host-side phases/convert)."""
+    from .rc.dirac_rc import WilsonDiracRC
+
+    if inv.dslash_type != DslashType.WILSON:
+        raise NotImplementedError(
+            "production path supports Wilson only (clover pending)")
+    u = np.asarray(U_np).copy()
+    if gauge.antiperiodic_t:
+        u[3, -1] *= -1.0
+    U_rc = jnp.asarray(np.stack([u.real, u.imag], axis=-1), dtype=jnp.float32)
+    return WilsonDiracRC(U=U_rc, kappa=inv.kappa)
+
+
+def _rc_evecs_to_planar(evecs_rc):
+    """[n, T,Z,Y,X, s, c, 2] -> [n, 2, s, c, T, Z, Y, X]."""
+    return jnp.transpose(evecs_rc, (0, 7, 5, 6, 1, 2, 3, 4))
+
+
 def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
                             inv: InvertParam, eig: EigParam,
                             loop_param: LoopParam,
                             U_loop_np: Optional[np.ndarray] = None,
                             keep_pos: bool = False,
+                            use_mg: bool = False, mg=None,
                             seed: int = 1234) -> ProductionResult:
-    """Fine-operator deflated disconnected loops, all compute on TPU f32."""
+    """Deflated disconnected loops, all compute on TPU f32.
+
+    use_mg=True eigensolves the MG-coarse operator (real-pair Galerkin
+    hierarchy, mg/rc_mg.py) and prolongates, like the reference's
+    computeCoarse path."""
+    if use_mg:
+        return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
+                                           mg, U_loop_np, keep_pos, seed)
     geom = LatticeGeometry(gauge.dims)
     op = build_kernel_dirac(U_np, gauge, inv)
     cp = LoopComputeParam.build(geom, loop_param)
@@ -193,11 +226,22 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     to_planar = jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Yext)))
     evecs_pl = to_planar(res.evecs)          # [n, 2, 4, 3, T, Z, Y, X]
 
+    data_mom, pos_np = _measure_production(
+        geom, loop_param, cp, evecs_pl, sigma,
+        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos)
+
+    return ProductionResult(
+        evals=evals, sigma=sigma, resids=np.asarray(rs),
+        data_mom=data_mom, data_pos=pos_np,
+        converged=res.converged, n_restarts=res.n_restarts)
+
+
+def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
+                        keep_pos):
+    """Shared measurement tail: contraction slots, g5 map, FT, HDF5."""
     inv_sigma = jnp.asarray(1.0 / sigma, dtype=jnp.float32)
     contract = jax.jit(loop_contract_production)
-
-    U_loop_pl = jnp.asarray(_planar_gauge_np(
-        U_loop_np if U_loop_np is not None else np.asarray(U_np), False))
+    U_loop_pl = jnp.asarray(_planar_gauge_np(U_loop_np, False))
 
     slots = [None] * cp.n_loop
     with phase_timer("loop-contraction"):
@@ -235,6 +279,64 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     if keep_pos:
         a = np.asarray(data_pos)
         pos_np = a[:, 0] + 1j * a[:, 1]
+    return data_mom, pos_np
+
+
+def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
+                                U_loop_np, keep_pos, seed) -> ProductionResult:
+    """MG-deflated production loops: real-pair Galerkin hierarchy, coarse
+    eigensolve, recursive prolongation (the reference's computeCoarse path)."""
+    from .mg.rc_mg import MGEnvRC
+    from .planar.lanczos import lanczos_hermitian_realpair
+    from .params import MGParam
+
+    if mg is None:
+        raise ValueError("use_mg requires MGParam")
+    geom = LatticeGeometry(gauge.dims)
+    cp = LoopComputeParam.build(geom, loop_param)
+    rc_op = build_rc_dirac(U_np, gauge, inv)
+
+    with phase_timer("mg-setup"):
+        env = MGEnvRC.build(rc_op, mg)
+    coarse = env.coarsest_op
+
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.standard_normal(coarse.field_shape),
+                     dtype=jnp.float32)
+    with phase_timer("eigensolve"):
+        res = lanczos_hermitian_realpair(
+            coarse.MdagM, v0, n_ev=eig.n_ev, n_kr=eig.n_kr,
+            re_im_axis=v0.ndim - 1, tol=eig.tol,
+            max_restarts=eig.max_restarts, which=eig.spectrum.value,
+            check_interval=eig.check_interval)
+    log(f"production MG eigensolve: converged={res.converged} "
+        f"restarts={res.n_restarts}")
+
+    scale = (0.25 / inv.kappa ** 2
+             if inv.mass_normalization == MassNormalization.MASS else 1.0)
+
+    @jax.jit
+    def rayleigh(v):
+        w = coarse.MdagM(v) * scale
+        lam = jnp.sum(v * w) / jnp.sqrt(jnp.sum(v * v))
+        r = jnp.sqrt(jnp.sum((lam * v - w) ** 2))
+        return lam, r
+
+    lams, rs = [], []
+    for i in range(eig.n_ev):
+        lam, r = rayleigh(res.evecs[i])
+        lams.append(float(lam))
+        rs.append(float(r))
+    evals = np.asarray(lams)
+    sigma = np.sqrt(np.maximum(evals, 0.0))
+
+    with phase_timer("prolongate"):
+        fine_rc = env.prolongate_batch(res.evecs)
+    evecs_pl = _rc_evecs_to_planar(fine_rc)
+
+    data_mom, pos_np = _measure_production(
+        geom, loop_param, cp, evecs_pl, sigma,
+        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos)
 
     return ProductionResult(
         evals=evals, sigma=sigma, resids=np.asarray(rs),

@@ -99,6 +99,17 @@ class WilsonDiracRC:
         return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
                 EigOperator.MdagM: self.MdagM, EigOperator.MMdag: self.MMdag}[which]
 
+    # -- term-wise interface (rc Galerkin probing, mirrors WilsonDirac's) --
+
+    def diag_term(self, psi):
+        if self.A is None:
+            return psi
+        return ceinsum("tzyxsaub,tzyxub->tzyxsa", self.A, psi)
+
+    def hop_term(self, mu: int, sign: int, psi):
+        return -self.kappa * _hop_term_rc(self.U[mu], psi, mu,
+                                          forward=(sign > 0))
+
     @property
     def field_shape(self):
         return self.U.shape[1:5] + (4, 3, 2)

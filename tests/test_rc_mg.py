@@ -1,0 +1,157 @@
+"""rc (real-pair) multigrid vs the complex MG on identical null vectors:
+same subspaces, exact Galerkin identity, unitarily-equivalent coarse ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mugiq_tpu import fields
+from mugiq_tpu.lattice import LatticeGeometry
+from mugiq_tpu.params import DslashType, EigOperator, EigParam, GaugeParam, InvertParam, MGParam
+from mugiq_tpu.dirac import make_dirac
+from mugiq_tpu.rc.cplx import to_rc, from_rc
+from mugiq_tpu.rc.dirac_rc import WilsonDiracRC
+from mugiq_tpu.mg.transfer import Transfer
+from mugiq_tpu.mg.coarse import galerkin_coarse_operator
+from mugiq_tpu.mg.setup import setup_null_vectors
+from mugiq_tpu.mg.rc_mg import (TransferRC, galerkin_coarse_operator_rc,
+                                MGEnvRC)
+
+GEOM = LatticeGeometry((4, 4, 4, 4))
+KAPPA = 0.125
+NVEC = 4
+BLOCK = (2, 2, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    U = fields.weak_gauge(GEOM, eps=0.3, seed=2)
+    dirac = make_dirac(U, gp, ip)
+    B = setup_null_vectors(dirac.MdagM, dirac.field_shape, dirac.dtype,
+                           NVEC, iters=20, seed=3)
+    tr_c = Transfer.build(B, BLOCK, spin_block=2)
+    tr_rc = TransferRC.build(to_rc(B), BLOCK, spin_block=2)
+    rc = WilsonDiracRC.from_complex(dirac)
+    return dirac, rc, B, tr_c, tr_rc
+
+
+def test_rc_transfer_orthonormality(setup):
+    _, _, _, _, tr_rc = setup
+    rng = np.random.default_rng(0)
+    phi = jnp.asarray(rng.standard_normal(tr_rc.coarse_field_shape))
+    rt = tr_rc.restrict(tr_rc.prolong(phi))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(phi), atol=1e-11)
+
+
+def test_rc_transfer_same_subspace(setup):
+    """P_rc R_rc (the subspace projector) equals the complex P R."""
+    dirac, _, _, tr_c, tr_rc = setup
+    psi = fields.random_spinor(GEOM, seed=5)
+    proj_c = np.asarray(tr_c.prolong(tr_c.restrict(psi)))
+    proj_rc = from_rc(tr_rc.prolong(tr_rc.restrict(to_rc(psi))))
+    np.testing.assert_allclose(np.asarray(proj_rc), proj_c, atol=1e-10)
+
+
+def test_rc_galerkin_identity(setup):
+    _, rc, _, _, tr_rc = setup
+    coarse = galerkin_coarse_operator_rc(rc, tr_rc)
+    rng = np.random.default_rng(1)
+    phi = jnp.asarray(rng.standard_normal(tr_rc.coarse_field_shape))
+    lhs = np.asarray(coarse.M(phi))
+    rhs = np.asarray(tr_rc.restrict(rc.M(tr_rc.prolong(phi))))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-11)
+
+
+def test_rc_coarse_spectrum_matches_complex(setup):
+    """Coarse ops from the same null space (different orthonormal bases)
+    are unitarily equivalent: identical spectra."""
+    dirac, rc, _, tr_c, tr_rc = setup
+    coarse_c = galerkin_coarse_operator(dirac, tr_c)
+    coarse_rc = galerkin_coarse_operator_rc(rc, tr_rc)
+
+    from mugiq_tpu.dirac import dense_matrix
+    A_c = np.asarray(dense_matrix(coarse_c.MdagM, coarse_c.field_shape,
+                                  coarse_c.dtype))
+    ev_c = np.linalg.eigvalsh((A_c + A_c.conj().T) / 2)
+
+    # dense rc operator via complex wrapper
+    shape_rc = coarse_rc.field_shape
+
+    def mdagm_cplx(phi_c):
+        return from_rc(coarse_rc.MdagM(to_rc(phi_c)))
+
+    A_rc = np.asarray(dense_matrix(mdagm_cplx, shape_rc[:-1], jnp.complex128))
+    ev_rc = np.linalg.eigvalsh((A_rc + A_rc.conj().T) / 2)
+    np.testing.assert_allclose(ev_rc, ev_c, atol=1e-10)
+
+
+def test_rc_mg_env_deflated_eigensolve(setup):
+    """MGEnvRC end-to-end: coarse eigensolve on real-pair fields matches the
+    coarse spectrum; prolongation reaches the fine lattice."""
+    _, rc, _, _, _ = setup
+    mg = MGEnvRC.build(rc, MGParam(n_level=2, geo_block_size=[BLOCK],
+                                   n_vec=[NVEC], setup_iters=20))
+    coarse = mg.coarsest_op
+    assert coarse.field_shape == (2, 2, 2, 2, 2, NVEC, 2)
+
+    from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+    rng = np.random.default_rng(4)
+    v0 = jnp.asarray(rng.standard_normal(coarse.field_shape))
+    res = lanczos_hermitian_realpair(
+        coarse.MdagM, v0, n_ev=4, n_kr=20, re_im_axis=v0.ndim - 1,
+        tol=1e-9, max_restarts=200, which="SR")
+    assert res.converged
+
+    from mugiq_tpu.dirac import dense_matrix
+
+    def mdagm_cplx(phi_c):
+        return from_rc(coarse.MdagM(to_rc(phi_c)))
+
+    A = np.asarray(dense_matrix(mdagm_cplx, coarse.field_shape[:-1],
+                                jnp.complex128))
+    ref = np.linalg.eigvalsh((A + A.conj().T) / 2)[:4]
+    np.testing.assert_allclose(np.sort(res.evals), ref, rtol=1e-7)
+
+    fine = mg.prolongate_batch(res.evecs)
+    assert fine.shape == (4,) + rc.field_shape
+
+
+def test_production_mg_loop_vs_validation():
+    """Production MG-deflated loops vs the complex MG path on the same
+    gauge: coarse eigenvalues agree (same hierarchy seed/parameters)."""
+    from mugiq_tpu.api import compute_loop
+    from mugiq_tpu.production import compute_loop_production
+    from mugiq_tpu.params import LoopParam
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    ep = EigParam(n_ev=3, n_kr=14, tol=1e-8, max_restarts=300,
+                  operator=EigOperator.MdagM)
+    mgp = MGParam(n_level=2, geo_block_size=[BLOCK], n_vec=[NVEC],
+                  setup_iters=20)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=True)
+    U = fields.weak_gauge(GEOM, eps=0.3, seed=2)
+
+    ref_result, ref_eig = compute_loop(U, gp, ip, ep, lp, compute_coarse=True,
+                                       use_mg=True, mg=mgp)
+    ep_prod = EigParam(n_ev=3, n_kr=14, tol=5e-5, max_restarts=300,
+                      operator=EigOperator.MdagM)
+    prod = compute_loop_production(np.asarray(U), gp, ip, ep_prod, lp,
+                                   use_mg=True, mg=mgp)
+    assert prod.converged
+    # the two hierarchies use different null-vector noise (numpy real-pair
+    # vs jax complex) and different setup arithmetic -> different (both
+    # valid) near-kernel subspaces; coarse spectra agree only at the
+    # 10-20% level.  This is a structural sanity check; exact agreement is
+    # covered by test_rc_coarse_spectrum_matches_complex (identical nulls).
+    np.testing.assert_allclose(np.sort(prod.evals),
+                               np.sort(ref_eig.evals.real), rtol=0.25)
+    assert prod.data_mom.shape == ref_result.data_mom.shape
+    assert np.all(np.isfinite(prod.data_mom))
+    # identity-channel p=0 trace has the right magnitude
+    ratio = (prod.data_mom[0, 0, 15].real.sum()
+             / ref_result.data_mom[0, 0, 15].real.sum())
+    assert 0.5 < ratio < 2.0
