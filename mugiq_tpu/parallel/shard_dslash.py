@@ -88,11 +88,18 @@ def make_sharded_dslash(mesh: Mesh, Y: int):
         ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
         return dslash_hop_pallas_ext(psi_ext, U_loc, ut_shift, Y=Y)
 
+    # disable the replication/VMA check: the pallas out_shape carries no
+    # varying-across-mesh annotation (check_rep on the legacy experimental
+    # shard_map, check_vma on jax.shard_map)
+    if shard_map.__module__.startswith("jax.experimental"):
+        kwargs = {"check_rep": False}
+    else:
+        kwargs = {"check_vma": False}
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P("t"), P("t"), P("t")),
         out_specs=P("t"),
-        check_rep=False,
+        **kwargs,
     )
     return jax.jit(sharded)
 
