@@ -39,6 +39,9 @@ def main(argv=None):
     g.add_argument("--loop-pos-space-filename", default="")
     g.add_argument("--loop-gauge-filename", default="",
                    help="separate (smeared) gauge for displacements")
+    g.add_argument("--production", action="store_true",
+                   help="run the TPU production path (real-pair/pallas "
+                        "kernels, f32) instead of the complex validation path")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -85,13 +88,28 @@ def main(argv=None):
 
     use_mg = args.mugiq_use_mg == "yes"
     t0 = time.time()
-    result, eig_res = api.compute_loop(
-        U, gp, ip, ep, lp,
-        compute_coarse=args.mugiq_compute_coarse == "yes",
-        use_mg=use_mg,
-        mg=build_mg_param(args) if use_mg else None,
-        U_loop=U_loop)
-    eig_res.print_evals()
+    if args.production:
+        import numpy as np
+        from ..production import compute_loop_production
+
+        res = compute_loop_production(
+            np.asarray(U), gp, ip, ep, lp,
+            U_loop_np=None if U_loop is None else np.asarray(U_loop),
+            use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
+        for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
+            log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")
+        for i, s in enumerate(res.sigma):
+            log(f"Mugiq: Sigma[{i:04d}] = {s:+.16e}")
+        if not res.converged:
+            log("WARNING: production eigensolve did NOT converge to tolerance")
+    else:
+        result, eig_res = api.compute_loop(
+            U, gp, ip, ep, lp,
+            compute_coarse=args.mugiq_compute_coarse == "yes",
+            use_mg=use_mg,
+            mg=build_mg_param(args) if use_mg else None,
+            U_loop=U_loop)
+        eig_res.print_evals()
     log(f"Time for solution = {time.time() - t0:.3f} s")
     print_profile()
     return 0

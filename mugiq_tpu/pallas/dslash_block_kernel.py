@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dslash_kernel import make_slice_compute
+from .dslash_kernel import make_slice_compute, pallas_call_auto
 
 
 def _make_blocked_kernel(Z, Y, X, bt):
@@ -72,7 +72,7 @@ def dslash_hop_pallas_blocked(psi_k: jnp.ndarray, U_k: jnp.ndarray,
     kernel = _make_blocked_kernel(Z, Y, X, bt)
     grid = (T // bt,)
 
-    return pl.pallas_call(
+    return pallas_call_auto(
         kernel,
         grid=grid,
         in_specs=[

@@ -32,6 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.dslash import _projector_decomp
 
 
+def pallas_call_auto(*args, **kwargs):
+    """pl.pallas_call with interpret mode on the CPU backend (compiled
+    pallas is TPU-only; CPU runs — tests, validation — emulate)."""
+    if jax.default_backend() == "cpu":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # layout converters (planar [2,4,3,T,Z,Y,X] <-> kernel [T,24,Z,Y*X])
 # ---------------------------------------------------------------------------
@@ -246,7 +254,7 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
     flops = 1320 * T * Z * YX
     bytes_accessed = 4 * (3 * psi_k.size // T * T  # approx: psi x3
                           + U_k.size + Ut_k.size + psi_k.size)
-    return pl.pallas_call(
+    return pallas_call_auto(
         kernel,
         grid=(T,),
         in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],

@@ -30,7 +30,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..pallas.dslash_kernel import _make_kernel
+from ..pallas.dslash_kernel import _make_kernel, pallas_call_auto
 
 
 @partial(jax.jit, static_argnames=("Y",))
@@ -58,7 +58,7 @@ def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
     spec_ut = pl.BlockSpec((1, 18, Z, YX), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    return pallas_call_auto(
         kernel,
         grid=(Tl,),
         in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],
