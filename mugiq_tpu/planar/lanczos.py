@@ -82,7 +82,9 @@ def _make_ops(ax):
 def _make_cycle(matvec, m, rdtype, ax):
     dots, axpy_sub, _ = _make_ops(ax)
 
-    @partial(jax.jit)
+    # donate V/Tmat: the caller rebinds them, and the basis is the dominant
+    # HBM object (nKr x field) — donation avoids a full copy per cycle
+    @partial(jax.jit, donate_argnums=(0, 1))
     def cycle(V, Tmat, j0):
         def step(j, carry):
             V, Tmat, _ = carry
