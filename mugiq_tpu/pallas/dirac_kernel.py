@@ -81,7 +81,13 @@ class WilsonDiracKernel:
         return diag - self.kappa * hop
 
     def Mdag(self, psi):
-        return self._g5 * self.M(self._g5 * psi)
+        """M^dag via the dagger-variant kernel (g5 fused into the spin
+        projectors; the clover diagonal is Hermitian)."""
+        hop = dslash_hop_pallas(psi, self.U_k, self.Ut_k, Y=self.Y,
+                                dagger=True)
+        diag = (psi if self.A_blocks is None
+                else apply_clover_kernel(self.A_blocks, psi))
+        return diag - self.kappa * hop
 
     def MdagM(self, psi):
         return self.Mdag(self.M(psi))

@@ -79,7 +79,7 @@ def _qr(mu, forward):
     return q, r
 
 
-def make_slice_compute(Z: int, Y: int, X: int):
+def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
     """Per-time-slice dslash body, parameterised over component getters.
 
     Returns compute(pm, pc, pp, uc, utm, write) where pm/pc/pp(s, c, r) give
@@ -87,6 +87,10 @@ def make_slice_compute(Z: int, Y: int, X: int):
     uc(mu, a, b, r) / utm(a, b, r) the link components, and
     write(s, c, re, im) stores the result.  Shared between the
     BlockSpec-pipelined kernel and the manual-DMA t-blocked kernel.
+
+    dagger=True computes the adjoint hopping term D^dag = g5 D g5: the link
+    structure is identical, only the spin projectors swap sign of gamma
+    ((1 -/+ g) -> (1 +/- g)) — g5 is fused away entirely.
     """
     YX = Y * X
 
@@ -120,9 +124,10 @@ def make_slice_compute(Z: int, Y: int, X: int):
 
         def hop(mu, forward, get_psi, get_link):
             """One directed hop; get_psi(s,c,r)->[Z,YX] neighbour component,
-            get_link(a,b,r)->[Z,YX] link component (dagger handled by caller
-            swapping (a,b) and negating im)."""
-            q, r = _qr(mu, forward)
+            get_link(a,b,r)->[Z,YX] link component (link dagger handled by
+            caller swapping (a,b) and negating im)."""
+            # operator dagger: swapped spin projectors (g5 fused away)
+            q, r = _qr(mu, forward != dagger)
             # project to half spinor h[hs][c]
             h = {}
             for hs in range(2):
@@ -206,9 +211,9 @@ def make_slice_compute(Z: int, Y: int, X: int):
     return compute
 
 
-def _make_kernel(Z: int, Y: int, X: int):
+def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False):
     """BlockSpec-pipelined kernel (one t-slice per grid step)."""
-    compute = make_slice_compute(Z, Y, X)
+    compute = make_slice_compute(Z, Y, X, dagger=dagger)
 
     def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
         def pref(ref):
@@ -226,9 +231,9 @@ def _make_kernel(Z: int, Y: int, X: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("Y",))
+@partial(jax.jit, static_argnames=("Y", "dagger"))
 def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
-                      Y: int) -> jnp.ndarray:
+                      Y: int, dagger: bool = False) -> jnp.ndarray:
     """Hopping term on kernel-layout arrays.
 
     psi_k [T, 24, Z, YX]; U_k [T, 4, 18, Z, YX]; Ut_k [T, 18, Z, YX] is the
@@ -238,7 +243,7 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
     T, _, Z, YX = psi_k.shape
     X = YX // Y
 
-    kernel = _make_kernel(Z, Y, X)
+    kernel = _make_kernel(Z, Y, X, dagger=dagger)
 
     spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
