@@ -57,6 +57,82 @@ def _make_blocked_kernel(Z, Y, X, bt):
     return kernel
 
 
+def _make_db_kernel(Z, Y, X, bt):
+    """Hybrid double-buffered kernel: psi halo windows via 2-slot manual DMA
+    (overlapped with compute), links via auto-pipelined BlockSpecs."""
+    compute = make_slice_compute(Z, Y, X)
+
+    def kernel(psi_hbm, u_ref, ut_ref, out_ref, psi_win, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        def dma(idx, sl):
+            return pltpu.make_async_copy(
+                psi_hbm.at[pl.ds(idx * bt, bt + 2)], psi_win.at[sl],
+                sems.at[sl])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, slot).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma(i + 1, nslot).start()
+
+        dma(i, slot).wait()
+
+        for j in range(bt):
+            def pref(off, jj=j):
+                return lambda s, c, r: psi_win[slot, jj + off,
+                                               r * 12 + s * 3 + c]
+
+            def write(s, c, ar, ai, jj=j):
+                out_ref[jj, s * 3 + c] = ar
+                out_ref[jj, 12 + s * 3 + c] = ai
+
+            compute(pref(0), pref(1), pref(2),
+                    lambda mu, a, b, r, jj=j: u_ref[jj, mu, r * 9 + a * 3 + b],
+                    lambda a, b, r, jj=j: ut_ref[jj, r * 9 + a * 3 + b],
+                    write)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("Y", "bt"))
+def dslash_hop_pallas_db(psi_k: jnp.ndarray, U_k: jnp.ndarray,
+                         Ut_k: jnp.ndarray, Y: int, bt: int = 2
+                         ) -> jnp.ndarray:
+    """Hopping term, double-buffered psi windows (periodic torus)."""
+    T, _, Z, YX = psi_k.shape
+    assert T % bt == 0, (T, bt)
+    X = YX // Y
+
+    psi_ext = jnp.concatenate([psi_k[-1:], psi_k, psi_k[:1]], axis=0)
+    ut_shift = jnp.roll(Ut_k, 1, axis=0)
+
+    kernel = _make_db_kernel(Z, Y, X, bt)
+    return pallas_call_auto(
+        kernel,
+        grid=(T // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((bt, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 18, Z, YX), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bt + 2, 24, Z, YX), psi_k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(psi_ext, U_k, ut_shift)
+
+
 @partial(jax.jit, static_argnames=("Y", "bt"))
 def dslash_hop_pallas_blocked(psi_k: jnp.ndarray, U_k: jnp.ndarray,
                               Ut_k: jnp.ndarray, Y: int, bt: int = 2
