@@ -89,10 +89,22 @@ class WilsonDirac:
 
 
 def make_dirac(U_unphased: jnp.ndarray, gauge: GaugeParam, inv: InvertParam) -> WilsonDirac:
-    """Build the operator from an unphased gauge field + parameters."""
+    """Build the operator from an unphased gauge field + parameters.
+
+    Anisotropy xi = a_s/a_t scales the spatial hopping by 1/xi (folded into
+    the spatial links), consistent with the reference's kappa relation
+    kappa = 1/(2(1 + 3/xi + m)) (tests/eigensolve.cpp:144-151): at p=0 the
+    free-field eigenvalue is then 1 - kappa(6/xi + 2) = 2*kappa*m.
+    """
     U = apply_boundary_phase(U_unphased, gauge.antiperiodic_t)
+    if gauge.anisotropy != 1.0:
+        scale = jnp.asarray([1.0 / gauge.anisotropy] * 3 + [1.0],
+                            dtype=U.real.dtype).reshape(4, 1, 1, 1, 1, 1, 1)
+        U = U * scale.astype(U.dtype)
     A = None
     if inv.dslash_type == DslashType.CLOVER_WILSON:
+        if gauge.anisotropy != 1.0:
+            raise NotImplementedError("anisotropic clover not supported")
         A = clover_field(U, inv.kappa, inv.csw)
     return WilsonDirac(U=U, kappa=inv.kappa, A=A)
 

@@ -59,7 +59,12 @@ def _make_blocked_kernel(Z, Y, X, bt):
 
 def _make_db_kernel(Z, Y, X, bt):
     """Hybrid double-buffered kernel: psi halo windows via 2-slot manual DMA
-    (overlapped with compute), links via auto-pipelined BlockSpecs."""
+    (overlapped with compute), links via auto-pipelined BlockSpecs.
+
+    EXPERIMENTAL: at 16^3 local volume the combined VMEM footprint (2-slot
+    psi windows + pallas-double-buffered link blocks + output) exceeds the
+    16 MB VMEM by ~0.5 MB at bt=2 — needs z-split windows or shallower link
+    pipelining before it can run at that size; smaller local volumes work."""
     compute = make_slice_compute(Z, Y, X)
 
     def kernel(psi_hbm, u_ref, ut_ref, out_ref, psi_win, sems):

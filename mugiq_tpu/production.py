@@ -40,10 +40,13 @@ from .utils import log, phase_timer
 # host-side planar/kernel construction from complex numpy gauge
 # ---------------------------------------------------------------------------
 
-def _planar_gauge_np(U_np: np.ndarray, antiperiodic_t: bool) -> np.ndarray:
+def _planar_gauge_np(U_np: np.ndarray, antiperiodic_t: bool,
+                     anisotropy: float = 1.0) -> np.ndarray:
     u = np.asarray(U_np).copy()
     if antiperiodic_t:
         u[3, -1] *= -1.0
+    if anisotropy != 1.0:
+        u[:3] *= 1.0 / anisotropy       # spatial hops scaled by 1/xi
     p = np.stack([u.real, u.imag])
     return np.transpose(p, (0, 1, 6, 7, 2, 3, 4, 5)).astype(np.float32)
 
@@ -51,7 +54,8 @@ def _planar_gauge_np(U_np: np.ndarray, antiperiodic_t: bool) -> np.ndarray:
 def build_kernel_dirac(U_np: np.ndarray, gauge: GaugeParam,
                        inv: InvertParam) -> WilsonDiracKernel:
     geom = LatticeGeometry(gauge.dims)
-    U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t))
+    U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t,
+                                        gauge.anisotropy))
     U_k = dk.to_kernel_gauge(U_pl)
     A_blocks = None
     if inv.dslash_type == DslashType.CLOVER_WILSON:

@@ -111,6 +111,39 @@ def test_clover_g5_hermiticity(geom44):
     assert abs(lhs - rhs) < 1e-10 * abs(lhs)
 
 
+def test_anisotropic_free_field(geom44):
+    """Anisotropic Wilson dispersion: M(p) = 1 - 2k(sum_i cos p_i / xi
+    + cos p_t) + 2ik(sum_i g_i sin p_i / xi + g_t sin p_t); at p=0 the
+    eigenvalue is 2*kappa*mass (the reference's kappa relation)."""
+    xi = 2.5
+    mass = 0.3
+    gp = GaugeParam(dims=geom44.dims, antiperiodic_t=False, anisotropy=xi)
+    ip = InvertParam(dslash_type=DslashType.WILSON, mass=mass, anisotropy=xi)
+    U = fields.unit_gauge(geom44)
+    dirac = make_dirac(U, gp, ip)
+
+    g = gamma_matrices()
+    L = geom44.dims
+    for mode in ((0, 0, 0, 0), (1, 0, 2, 1)):
+        p = [2 * np.pi * mode[i] / L[i] for i in range(4)]
+        w = np.random.default_rng(3).standard_normal((4, 3)) + 0.5j
+        psi = _plane_wave(geom44, p, w)
+        out = np.asarray(dirac.M(psi))
+        c = 1 - 2 * ip.kappa * (sum(np.cos(p[i]) / xi for i in range(3))
+                                + np.cos(p[3]))
+        s = 2j * ip.kappa * (sum(g[i] * np.sin(p[i]) / xi for i in range(3))
+                             + g[3] * np.sin(p[3]))
+        mw = (c * np.eye(4) + s) @ w
+        expect = np.asarray(_plane_wave(geom44, p, mw))
+        np.testing.assert_allclose(out, expect, atol=1e-12)
+    # p=0 eigenvalue = 2*kappa*mass
+    w0 = np.ones((4, 3))
+    psi0 = _plane_wave(geom44, [0, 0, 0, 0], w0)
+    out0 = np.asarray(dirac.M(psi0))
+    np.testing.assert_allclose(out0, 2 * ip.kappa * mass * np.asarray(psi0),
+                               atol=1e-12)
+
+
 def test_gauge_covariance(geom44):
     """g(x)-rotated gauge field gives M' = G M G^dag with G site-diagonal."""
     gp = GaugeParam(dims=geom44.dims)
