@@ -47,6 +47,65 @@ def apply_clover_kernel(A_blocks: jnp.ndarray, psi_k: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([rr, ii], axis=1)   # comp = r*12 + s*3 + c
 
 
+def parity_masks_kernel(T, Z, Y, X, dtype=np.float32):
+    """(even, odd) 0/1 masks [T, 1, Z, Y*X] for kernel-layout fields."""
+    t, z, y, x = np.meshgrid(np.arange(T), np.arange(Z), np.arange(Y),
+                             np.arange(X), indexing="ij")
+    par = ((t + z + y + x) % 2).reshape(T, 1, Z, Y * X).astype(dtype)
+    return jnp.asarray(1.0 - par), jnp.asarray(par)
+
+
+@dataclass
+class SchurDiracKernel:
+    """Even-even preconditioned Wilson on the kernel layout (production twin
+    of schur.SchurDirac, asymmetric == symmetric for plain Wilson):
+    M_pc = 1 - kappa^2 P_e D P_o D."""
+    U_k: jnp.ndarray
+    kappa: float
+    Y: int
+
+    def __post_init__(self):
+        self.Ut_k = self.U_k[:, 3]
+        T, _, _, Z, YX = self.U_k.shape
+        self.even, self.odd = parity_masks_kernel(T, Z, self.Y, YX // self.Y)
+
+    def project_even(self, psi):
+        return self.even * psi
+
+    def M(self, psi):
+        pe = self.even * psi
+        d_oe = self.odd * dslash_hop_pallas(pe, self.U_k, self.Ut_k, Y=self.Y)
+        hop_back = self.even * dslash_hop_pallas(d_oe, self.U_k, self.Ut_k,
+                                                 Y=self.Y)
+        return pe - self.kappa ** 2 * hop_back
+
+    def Mdag(self, psi):
+        pe = self.even * psi
+        d_oe = self.odd * dslash_hop_pallas(pe, self.U_k, self.Ut_k,
+                                            Y=self.Y, dagger=True)
+        hop_back = self.even * dslash_hop_pallas(d_oe, self.U_k, self.Ut_k,
+                                                 Y=self.Y, dagger=True)
+        return pe - self.kappa ** 2 * hop_back
+
+    def MdagM(self, psi):
+        return self.Mdag(self.M(psi))
+
+    def MMdag(self, psi):
+        return self.M(self.Mdag(psi))
+
+    def operator(self, which: EigOperator) -> Callable:
+        return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
+                EigOperator.MdagM: self.MdagM, EigOperator.MMdag: self.MMdag}[which]
+
+    @property
+    def field_shape(self):
+        return (self.U_k.shape[0], 24, self.U_k.shape[3], self.U_k.shape[4])
+
+    @property
+    def dtype(self):
+        return self.U_k.dtype
+
+
 def _g5_signs():
     """[24] sign vector: -1 on spin 2,3 components, duplicated for re/im."""
     s = np.ones(24, dtype=np.float32)

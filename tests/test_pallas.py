@@ -87,3 +87,26 @@ def test_kernel_layout_eigensolve():
                                 jnp.complex128))
     ref = np.linalg.eigvalsh((A + A.conj().T) / 2)[:3]
     np.testing.assert_allclose(np.sort(res.evals), ref, rtol=1e-3)
+
+
+def test_schur_kernel_matches_complex():
+    """Kernel-layout even-odd pc operator vs the complex SchurDirac."""
+    from mugiq_tpu.schur import SchurDirac
+    from mugiq_tpu.pallas.dirac_kernel import SchurDiracKernel
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.3, seed=8)
+    dirac = make_dirac(U, gp, ip)
+    pc_c = SchurDirac.from_dirac(dirac)
+    U_k = dk.to_kernel_gauge(gauge_to_planar(dirac.U))
+    pc_k = SchurDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=4)
+
+    psi = fields.random_spinor(geom, seed=5, dtype=jnp.complex64)
+    psi_k = dk.to_kernel_spinor(spinor_to_planar(psi))
+    for name in ("M", "Mdag", "MdagM"):
+        ref = np.asarray(getattr(pc_c, name)(psi))
+        got = spinor_from_planar(dk.from_kernel_spinor(
+            getattr(pc_k, name)(psi_k), Y=4))
+        np.testing.assert_allclose(got, ref, atol=2e-4, err_msg=name)
