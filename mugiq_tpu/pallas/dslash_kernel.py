@@ -211,17 +211,27 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
     return compute
 
 
-def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False):
-    """BlockSpec-pipelined kernel (one t-slice per grid step)."""
-    compute = make_slice_compute(Z, Y, X, dagger=dagger)
+def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
+                 z_ext: bool = False):
+    """BlockSpec-pipelined kernel (one t-slice per grid step).
+
+    z_ext=True: input blocks carry one halo row on each side of the z axis
+    (sharded-z operation).  All VPU work runs on the extended [Z+2, YX]
+    tiles — the z-rolls then read the halo rows for the interior — and only
+    the interior rows are written out.  The two wrapped edge rows of a roll
+    land in the halo rows, which are never written.
+    """
+    Zc = Z + 2 if z_ext else Z
+    compute = make_slice_compute(Zc, Y, X, dagger=dagger)
+    sl = slice(1, Z + 1) if z_ext else slice(None)
 
     def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
         def pref(ref):
             return lambda s, c, r: ref[0, r * 12 + s * 3 + c]
 
         def write(s, c, ar, ai):
-            out_ref[0, s * 3 + c] = ar
-            out_ref[0, 12 + s * 3 + c] = ai
+            out_ref[0, s * 3 + c] = ar[sl]
+            out_ref[0, 12 + s * 3 + c] = ai[sl]
 
         compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
                 lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b],

@@ -68,6 +68,96 @@ def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
     )(psi_ext, psi_ext, psi_ext, U_loc, Ut_shift)
 
 
+@partial(jax.jit, static_argnames=("Y",))
+def dslash_hop_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
+                           Ut_ext: jnp.ndarray, Y: int) -> jnp.ndarray:
+    """Local hopping term from a (t, z)-halo-extended spinor.
+
+    psi_ext [T_loc+2, 24, Z_loc+2, YX]; U_ext [T_loc, 4, 18, Z_loc+2, YX]
+    (real z-halos — backward-z hops read the halo link row);
+    Ut_ext [T_loc, 18, Z_loc+2, YX] (z-halo rows unused, may be zero).
+    """
+    Tl = U_ext.shape[0]
+    Zp = psi_ext.shape[2]
+    Zl = Zp - 2
+    YX = psi_ext.shape[3]
+    X = YX // Y
+    kernel = _make_kernel(Zl, Y, X, z_ext=True)
+
+    spec_m = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i + 1, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i + 2, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Zp, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Zp, YX), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],
+        out_specs=pl.BlockSpec((1, 24, Zl, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YX), psi_ext.dtype),
+    )(psi_ext, psi_ext, psi_ext, U_ext, Ut_ext)
+
+
+def make_sharded_dslash_2d(mesh: Mesh, Y: int):
+    """dslash over a 2D ('t', 'z') mesh: explicit ppermute halos in both
+    sharded directions (the reference's 4D domain decomposition restricted
+    to the two leading lattice axes), pallas stencil on the extended local
+    block.  Kernel arrays are [T, 24, Z, YX] sharded on axes 0 and 2."""
+    nt = mesh.shape["t"]
+    nz = mesh.shape["z"]
+    t_fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    t_bwd = [(i, (i - 1) % nt) for i in range(nt)]
+    z_fwd = [(i, (i + 1) % nz) for i in range(nz)]
+    z_bwd = [(i, (i - 1) % nz) for i in range(nz)]
+
+    def zext(a, axis):
+        """Extend `a` with one halo row each side of `axis` via z-ppermute."""
+        last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                    axis=axis)
+        first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        halo_prev = jax.lax.ppermute(last, "z", perm=z_fwd)
+        halo_next = jax.lax.ppermute(first, "z", perm=z_bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
+
+    def body(psi_loc, U_loc, Ut_loc):
+        # t halos first (z-exchange of the t-extended array then carries
+        # the correct corner rows from the matching t-extension of the
+        # z-neighbour)
+        halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=t_fwd)
+        halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=t_bwd)
+        psi_t = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
+        psi_ext = zext(psi_t, axis=2)
+        U_ext = zext(U_loc, axis=3)
+        ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=t_fwd)
+        ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
+        # Ut z-halo rows are never read: zero-pad locally
+        ut_ext = jnp.pad(ut_shift, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        return dslash_hop_pallas_ext2(psi_ext, U_ext, ut_ext, Y=Y)
+
+    if shard_map.__module__.startswith("jax.experimental"):
+        kwargs = {"check_rep": False}
+    else:
+        kwargs = {"check_vma": False}
+    spec = P("t", None, "z", None)
+    sharded = shard_map(body, mesh=mesh, in_specs=(spec, P("t", None, None, "z", None), spec),
+                        out_specs=spec, **kwargs)
+    return jax.jit(sharded)
+
+
+def shard_kernel_fields_2d(mesh: Mesh, psi_k, U_k, Ut_k):
+    s_psi = NamedSharding(mesh, P("t", None, "z", None))
+    s_u = NamedSharding(mesh, P("t", None, None, "z", None))
+    return (jax.device_put(psi_k, s_psi), jax.device_put(U_k, s_u),
+            jax.device_put(Ut_k, s_psi))
+
+
 def make_sharded_dslash(mesh: Mesh, Y: int):
     """Returns dslash(psi_k, U_k, Ut_k) over t-sharded kernel-layout arrays.
 

@@ -74,3 +74,27 @@ def test_sharded_matches_unsharded_kernel():
     f = make_sharded_dslash(mesh, Y=Y)
     out = np.asarray(f(psi_s, U_s, Ut_s))
     np.testing.assert_allclose(out, single, atol=0)
+
+
+def test_2d_sharded_pallas_dslash():
+    """(t, z) 2D mesh: explicit halos in both directions, bit-identical to
+    the single-device modular kernel."""
+    from jax.sharding import Mesh
+    from mugiq_tpu.parallel.shard_dslash import (make_sharded_dslash_2d,
+                                                 shard_kernel_fields_2d)
+
+    geom2 = LatticeGeometry((8, 4, 8, 8))   # Z=8 over 2, T=8 over 4
+    U = fields.random_gauge(geom2, seed=6, dtype=jnp.complex64)
+    psi = fields.random_spinor(geom2, seed=7, dtype=jnp.complex64)
+    psi_k = dk.to_kernel_spinor(spinor_to_planar(psi))
+    U_k = dk.to_kernel_gauge(gauge_to_planar(U))
+    Ut_k = U_k[:, 3]
+
+    single = np.asarray(dk.dslash_hop_pallas(psi_k, U_k, Ut_k, Y=4))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "z"))
+    psi_s, U_s, Ut_s = shard_kernel_fields_2d(mesh, psi_k, U_k, Ut_k)
+    f = make_sharded_dslash_2d(mesh, Y=4)
+    out = f(psi_s, U_s, Ut_s)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), single, atol=0)
