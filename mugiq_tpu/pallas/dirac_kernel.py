@@ -129,24 +129,29 @@ class WilsonDiracKernel:
     A_blocks: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
+        from .dslash_kernel import pack_clover_kernel144
+
         self.Ut_k = self.U_k[:, 3]
         self._g5 = jnp.asarray(_g5_signs(), dtype=self.U_k.dtype
                                ).reshape(1, 24, 1, 1)
+        self._A144 = (jnp.zeros((1,), self.U_k.dtype) if self.A_blocks is None
+                      else pack_clover_kernel144(self.A_blocks))
 
     def M(self, psi):
-        hop = dslash_hop_pallas(psi, self.U_k, self.Ut_k, Y=self.Y)
-        diag = (psi if self.A_blocks is None
-                else apply_clover_kernel(self.A_blocks, psi))
-        return diag - self.kappa * hop
+        """Fully fused: A psi - kappa*hop in ONE kernel pass (clover as
+        in-VMEM chiral 6x6 blocks)."""
+        from .dslash_kernel import wilson_m_pallas
+        return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
+                               Y=self.Y, kappa=self.kappa, dagger=False,
+                               has_clover=self.A_blocks is not None)
 
     def Mdag(self, psi):
-        """M^dag via the dagger-variant kernel (g5 fused into the spin
-        projectors; the clover diagonal is Hermitian)."""
-        hop = dslash_hop_pallas(psi, self.U_k, self.Ut_k, Y=self.Y,
-                                dagger=True)
-        diag = (psi if self.A_blocks is None
-                else apply_clover_kernel(self.A_blocks, psi))
-        return diag - self.kappa * hop
+        """M^dag via the dagger-variant fused kernel (g5 folded into the
+        spin projectors; the clover diagonal is Hermitian)."""
+        from .dslash_kernel import wilson_m_pallas
+        return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
+                               Y=self.Y, kappa=self.kappa, dagger=True,
+                               has_clover=self.A_blocks is not None)
 
     def MdagM(self, psi):
         return self.Mdag(self.M(psi))

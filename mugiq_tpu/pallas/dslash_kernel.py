@@ -241,6 +241,105 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
     return kernel
 
 
+def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
+                   clover: bool):
+    """Fused full-operator kernel: out = A psi - kappa * hop(psi)
+    (A = 1 without clover).  The clover matrix arrives as chiral 6x6 blocks
+    flattened to 144 components: idx = ((chi*6 + k)*6 + j)*2 + r."""
+    compute = make_slice_compute(Z, Y, X, dagger=dagger)
+
+    def kernel(*refs):
+        if clover:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, A_ref, out_ref = refs
+        else:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref = refs[:5]
+            A_ref = None
+            out_ref = refs[5]
+
+        def pref(ref):
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c]
+
+        hop = {}
+
+        def write(s, c, ar, ai):
+            hop[(s, c)] = (ar, ai)
+
+        compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
+                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b],
+                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b],
+                write)
+
+        pc = pref(pc_ref)
+        for s in range(4):
+            for c in range(3):
+                hr, hi = hop[(s, c)]
+                if A_ref is None:
+                    dr = pc(s, c, 0)
+                    di = pc(s, c, 1)
+                else:
+                    # chiral 6x6 complex matvec, unrolled
+                    chi, k = s // 2, (s % 2) * 3 + c
+                    dr = di = None
+                    for j in range(6):
+                        sj, cj = 2 * chi + j // 3, j % 3
+                        ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 0]
+                        ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 1]
+                        vr = pc(sj, cj, 0)
+                        vi = pc(sj, cj, 1)
+                        tr = ar_ * vr - ai_ * vi
+                        ti = ar_ * vi + ai_ * vr
+                        dr = tr if dr is None else dr + tr
+                        di = ti if di is None else di + ti
+                out_ref[0, s * 3 + c] = dr - kappa * hr
+                out_ref[0, 12 + s * 3 + c] = di - kappa * hi
+
+    return kernel
+
+
+def pack_clover_kernel144(A_blocks: jnp.ndarray) -> jnp.ndarray:
+    """[T, 2, 6, 6, 2, Z, YX] -> [T, 144, Z, YX] (fused-M kernel packing)."""
+    T = A_blocks.shape[0]
+    Z, YX = A_blocks.shape[-2:]
+    return A_blocks.reshape(T, 144, Z, YX)
+
+
+@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover"))
+def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
+                    A144, Y: int, kappa: float, dagger: bool = False,
+                    has_clover: bool = False) -> jnp.ndarray:
+    """Fused M(dag) application: A psi - kappa * hop (one kernel pass).
+
+    A144: [T, 144, Z, YX] packed clover blocks (ignored unless has_clover)."""
+    T, _, Z, YX = psi_k.shape
+    X = YX // Y
+    kernel = _make_m_kernel(Z, Y, X, kappa, dagger, has_clover)
+
+    spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, 24, Z, YX), lambda i: ((i - 1) % T, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Z, YX), lambda i: ((i + 1) % T, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Z, YX), lambda i: ((i - 1) % T, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [spec_m, spec_c, spec_p, spec_u, spec_ut]
+    args = [psi_k, psi_k, psi_k, U_k, Ut_k]
+    if has_clover:
+        in_specs.append(pl.BlockSpec((1, 144, Z, YX), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+    )(*args)
+
+
 @partial(jax.jit, static_argnames=("Y", "dagger"))
 def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
                       Y: int, dagger: bool = False) -> jnp.ndarray:
