@@ -258,9 +258,14 @@ class MGEnvRC:
     params: MGParam
 
     @classmethod
-    def build(cls, fine_op_rc, params: MGParam, seed_shape_dtype=None) -> "MGEnvRC":
+    def build(cls, fine_op_rc, params: MGParam,
+              fast_fine_op=None) -> "MGEnvRC":
         """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
-        (e.g. WilsonDiracRC)."""
+        (e.g. WilsonDiracRC).
+
+        fast_fine_op: optional kernel-layout operator (WilsonDiracKernel)
+        used only for the null-vector smoothing CG — the pallas MdagM is
+        ~10x the rc XLA path; results are converted back to rc."""
         n_coarse = params.n_level - 1
         level_ops = [fine_op_rc]
         transfers = []
@@ -271,12 +276,28 @@ class MGEnvRC:
             spin_block = 2 if ns == 4 else 1
             rng = np.random.default_rng(params.setup_seed + lev)
             with phase_timer(f"mg-rc-null-vectors-l{lev}"):
-                b = jnp.asarray(rng.standard_normal(
-                    (params.n_vec[lev],) + tuple(fshape)), dtype=op.dtype)
-                solve = jax.jit(jax.vmap(
-                    lambda rhs: _cg_realpair(op.MdagM, rhs,
-                                             params.setup_iters)))
-                B = solve(b)
+                if lev == 0 and fast_fine_op is not None:
+                    import mugiq_tpu.pallas.dslash_kernel as dk
+
+                    T, Z, Y, X = (fshape[0], fshape[1], fshape[2], fshape[3])
+                    bk = jnp.asarray(rng.standard_normal(
+                        (params.n_vec[lev], T, 24, Z, Y * X)),
+                        dtype=jnp.float32)
+                    solve = jax.jit(jax.vmap(
+                        lambda rhs: _cg_realpair(fast_fine_op.MdagM, rhs,
+                                                 params.setup_iters)))
+                    Bk = solve(bk)
+                    # kernel layout -> rc: [T,24,Z,YX] -> [T,Z,Y,X,s,c,2]
+                    to_pl = jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y))
+                    B_pl = to_pl(Bk)      # [n, 2, s, c, T, Z, Y, X]
+                    B = jnp.transpose(B_pl, (0, 4, 5, 6, 7, 2, 3, 1))
+                else:
+                    b = jnp.asarray(rng.standard_normal(
+                        (params.n_vec[lev],) + tuple(fshape)), dtype=op.dtype)
+                    solve = jax.jit(jax.vmap(
+                        lambda rhs: _cg_realpair(op.MdagM, rhs,
+                                                 params.setup_iters)))
+                    B = solve(b)
                 nrm = jnp.sqrt(jnp.sum(
                     B * B, axis=tuple(range(1, B.ndim)), keepdims=True))
                 B = B / nrm

@@ -299,9 +299,10 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     rc_op = build_rc_dirac(U_np, gauge, inv)
+    fast_op = build_kernel_dirac(U_np, gauge, inv)
 
     with phase_timer("mg-setup"):
-        env = MGEnvRC.build(rc_op, mg)
+        env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op)
     coarse = env.coarsest_op
 
     rng = np.random.default_rng(seed)
