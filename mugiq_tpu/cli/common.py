@@ -131,11 +131,17 @@ def build_mg_param(args) -> MGParam:
 
 
 def load_gauge_from_args(args, gp: GaugeParam):
+    """Returns (U as NUMPY complex, geom).
+
+    Gauge setup stays host-side: complex device arrays cannot even be
+    created on the TPU backend, so the CLI converts to device arrays only
+    on the CPU/validation path (and the production path converts to the
+    real-pair layouts itself)."""
     from ..lattice import LatticeGeometry
-    from ..io.gauge_io import load_gauge
+    from ..io.gauge_io import load_gauge_np
 
     geom = LatticeGeometry(gp.dims)
-    return load_gauge(args.gauge, geom, seed=args.gauge_seed), geom
+    return load_gauge_np(args.gauge, geom, seed=args.gauge_seed), geom
 
 
 def read_momenta_file(path: str):

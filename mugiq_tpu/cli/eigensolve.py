@@ -31,9 +31,9 @@ def main(argv=None):
     gp, ip, ep = build_params(args)
     U, geom = load_gauge_from_args(args, gp)
 
-    tot, sp, tm = fields.plaquette(U)
-    log(f"Computed plaquette is {float(tot):.8f} "
-        f"(spatial = {float(sp):.8f}, temporal = {float(tm):.8f})")
+    tot, sp, tm = fields.plaquette_np(U)
+    log(f"Computed plaquette is {tot:.8f} "
+        f"(spatial = {sp:.8f}, temporal = {tm:.8f})")
 
     if args.eig_vec_infile:
         from ..io.gauge_io import load_evecs
@@ -44,11 +44,14 @@ def main(argv=None):
             log(f"Mugiq: Eval[{i:04d}] = {lam.real:+.16e} {lam.imag:+.16e}")
         return 0
 
+    import jax.numpy as jnp
+
     t0 = time.time()
+    U_dev = jnp.asarray(U)   # validation path: complex device array (CPU)
     if args.mugiq_use_mg == "yes" and args.mugiq_compute_coarse == "yes":
-        res = api.compute_evecs_mugiq_mg(U, gp, ip, ep, build_mg_param(args))
+        res = api.compute_evecs_mugiq_mg(U_dev, gp, ip, ep, build_mg_param(args))
     else:
-        res = api.compute_evecs_mugiq(U, gp, ip, ep,
+        res = api.compute_evecs_mugiq(U_dev, gp, ip, ep,
                                       even_odd=args.solve_type == "direct-pc")
     res.print_evals()
     log(f"Time for solution = {time.time() - t0:.3f} s")

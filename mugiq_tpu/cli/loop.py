@@ -46,7 +46,7 @@ def main(argv=None):
     setup_jax(args)
 
     from .. import api, fields
-    from ..io.gauge_io import load_gauge
+    from ..io.gauge_io import load_gauge_np
     from ..params import CalcType, FTSign, LoopParam
     from ..utils import log, print_profile
 
@@ -79,12 +79,12 @@ def main(argv=None):
 
     U_loop = None
     if args.loop_gauge_filename:
-        U_loop = load_gauge(args.loop_gauge_filename, geom,
-                            seed=args.gauge_seed)
+        U_loop = load_gauge_np(args.loop_gauge_filename, geom,
+                               seed=args.gauge_seed)
 
-    tot, sp, tm = fields.plaquette(U)
-    log(f"Computed plaquette is {float(tot):.8f} "
-        f"(spatial = {float(sp):.8f}, temporal = {float(tm):.8f})")
+    tot, sp, tm = fields.plaquette_np(U)
+    log(f"Computed plaquette is {tot:.8f} "
+        f"(spatial = {sp:.8f}, temporal = {tm:.8f})")
 
     use_mg = args.mugiq_use_mg == "yes"
     t0 = time.time()
@@ -93,8 +93,8 @@ def main(argv=None):
         from ..production import compute_loop_production
 
         res = compute_loop_production(
-            np.asarray(U), gp, ip, ep, lp,
-            U_loop_np=None if U_loop is None else np.asarray(U_loop),
+            U, gp, ip, ep, lp,
+            U_loop_np=U_loop,
             use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
         for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")
@@ -103,12 +103,13 @@ def main(argv=None):
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to tolerance")
     else:
+        import jax.numpy as jnp
         result, eig_res = api.compute_loop(
-            U, gp, ip, ep, lp,
+            jnp.asarray(U), gp, ip, ep, lp,
             compute_coarse=args.mugiq_compute_coarse == "yes",
             use_mg=use_mg,
             mg=build_mg_param(args) if use_mg else None,
-            U_loop=U_loop)
+            U_loop=None if U_loop is None else jnp.asarray(U_loop))
         eig_res.print_evals()
     log(f"Time for solution = {time.time() - t0:.3f} s")
     print_profile()

@@ -102,6 +102,27 @@ def apply_boundary_phase(U: jnp.ndarray, antiperiodic_t: bool = True) -> jnp.nda
 # Observables
 # ---------------------------------------------------------------------------
 
+def plaquette_np(U) -> tuple:
+    """Average plaquette in pure numpy — used where complex device arrays
+    are unavailable (the TPU backend; see CLAUDE.md)."""
+    u = np.asarray(U)
+
+    def roll(a, mu, sign):
+        return np.roll(a, -sign, axis={0: 3, 1: 2, 2: 1, 3: 0}[mu])
+
+    spatial, temporal = [], []
+    for mu in range(4):
+        for nu in range(mu + 1, 4):
+            tr = np.einsum("...ab,...bc,...dc,...ad->...",
+                           u[mu], roll(u[nu], mu, +1),
+                           np.conj(roll(u[mu], nu, +1)), np.conj(u[nu]))
+            p = float(np.mean(tr.real)) / 3.0
+            (temporal if nu == 3 else spatial).append(p)
+    sp = sum(spatial) / len(spatial)
+    tm = sum(temporal) / len(temporal)
+    return (sp + tm) / 2.0, sp, tm
+
+
 def plaquette(U: jnp.ndarray):
     """Average plaquette (total, spatial, temporal), normalised to 1 at U=1.
 

@@ -149,6 +149,43 @@ def write_nersc_gauge(path: str, U: np.ndarray, three_row: bool = True,
         f.write(data)
 
 
+def load_gauge_np(spec: str, geom: LatticeGeometry, seed: int = 0) -> np.ndarray:
+    """Pure-numpy gauge factory: 'unit' | 'random' | 'weak[:eps]' | a path.
+
+    Used by the CLI so no complex device array is ever created (impossible
+    on the TPU backend)."""
+    from ..fields import _project_su3
+
+    shape = (4, *geom.shape_tzyx, 3, 3)
+    if spec == "unit":
+        return np.broadcast_to(np.eye(3, dtype=np.complex128), shape).copy()
+    if spec == "random":
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        return _project_su3(m)
+    if spec.startswith("weak"):
+        eps = float(spec.split(":")[1]) if ":" in spec else 0.1
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        h = 0.5 * (a + np.conj(np.swapaxes(a, -1, -2)))
+        tr = np.einsum("...ii->...", h) / 3.0
+        h = h - tr[..., None, None] * np.eye(3)
+        w, v = np.linalg.eigh(h)
+        return np.einsum("...ab,...b,...cb->...ac", v, np.exp(1j * eps * w),
+                         np.conj(v))
+    with open(spec, "rb") as f:
+        magic = f.read(4)
+    if magic == bytes.fromhex("456789ab"):
+        from .lime_io import read_ildg_gauge
+        U, _ = read_ildg_gauge(spec)
+    else:
+        U, _ = read_nersc_gauge(spec)
+    dims = (U.shape[4], U.shape[3], U.shape[2], U.shape[1])
+    if dims != geom.dims:
+        raise ValueError(f"gauge file dims {dims} != requested {geom.dims}")
+    return U
+
+
 def load_gauge(spec: str, geom: LatticeGeometry, seed: int = 0, dtype=None):
     """Gauge factory for the CLI: 'unit' | 'random' | 'weak[:eps]' | a path."""
     import jax.numpy as jnp
