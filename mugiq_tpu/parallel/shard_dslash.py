@@ -33,9 +33,10 @@ except ImportError:  # older jax
 from ..pallas.dslash_kernel import _make_kernel, pallas_call_auto
 
 
-@partial(jax.jit, static_argnames=("Y",))
+@partial(jax.jit, static_argnames=("Y", "dagger"))
 def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
-                          Ut_shift: jnp.ndarray, Y: int) -> jnp.ndarray:
+                          Ut_shift: jnp.ndarray, Y: int,
+                          dagger: bool = False) -> jnp.ndarray:
     """Local hopping term from a t-halo-extended spinor.
 
     psi_ext [T_loc+2, 24, Z, YX] (rows 0 and -1 are the received halos);
@@ -45,7 +46,7 @@ def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
     Tl = U_loc.shape[0]
     _, _, Z, YX = psi_ext.shape
     X = YX // Y
-    kernel = _make_kernel(Z, Y, X)
+    kernel = _make_kernel(Z, Y, X, dagger=dagger)
 
     spec_m = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -68,9 +69,10 @@ def dslash_hop_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
     )(psi_ext, psi_ext, psi_ext, U_loc, Ut_shift)
 
 
-@partial(jax.jit, static_argnames=("Y",))
+@partial(jax.jit, static_argnames=("Y", "dagger"))
 def dslash_hop_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
-                           Ut_ext: jnp.ndarray, Y: int) -> jnp.ndarray:
+                           Ut_ext: jnp.ndarray, Y: int,
+                           dagger: bool = False) -> jnp.ndarray:
     """Local hopping term from a (t, z)-halo-extended spinor.
 
     psi_ext [T_loc+2, 24, Z_loc+2, YX]; U_ext [T_loc, 4, 18, Z_loc+2, YX]
@@ -82,7 +84,7 @@ def dslash_hop_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
     Zl = Zp - 2
     YX = psi_ext.shape[3]
     X = YX // Y
-    kernel = _make_kernel(Zl, Y, X, z_ext=True)
+    kernel = _make_kernel(Zl, Y, X, dagger=dagger, z_ext=True)
 
     spec_m = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -105,7 +107,7 @@ def dslash_hop_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
     )(psi_ext, psi_ext, psi_ext, U_ext, Ut_ext)
 
 
-def make_sharded_dslash_2d(mesh: Mesh, Y: int):
+def make_sharded_dslash_2d(mesh: Mesh, Y: int, dagger: bool = False):
     """dslash over a 2D ('t', 'z') mesh: explicit ppermute halos in both
     sharded directions (the reference's 4D domain decomposition restricted
     to the two leading lattice axes), pallas stencil on the extended local
@@ -139,7 +141,8 @@ def make_sharded_dslash_2d(mesh: Mesh, Y: int):
         ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
         # Ut z-halo rows are never read: zero-pad locally
         ut_ext = jnp.pad(ut_shift, ((0, 0), (0, 0), (1, 1), (0, 0)))
-        return dslash_hop_pallas_ext2(psi_ext, U_ext, ut_ext, Y=Y)
+        return dslash_hop_pallas_ext2(psi_ext, U_ext, ut_ext, Y=Y,
+                                      dagger=dagger)
 
     if shard_map.__module__.startswith("jax.experimental"):
         kwargs = {"check_rep": False}
@@ -158,7 +161,7 @@ def shard_kernel_fields_2d(mesh: Mesh, psi_k, U_k, Ut_k):
             jax.device_put(Ut_k, s_psi))
 
 
-def make_sharded_dslash(mesh: Mesh, Y: int):
+def make_sharded_dslash(mesh: Mesh, Y: int, dagger: bool = False):
     """Returns dslash(psi_k, U_k, Ut_k) over t-sharded kernel-layout arrays.
 
     mesh must have a 't' axis; arrays are [T, ...] sharded on axis 0.
@@ -176,7 +179,8 @@ def make_sharded_dslash(mesh: Mesh, Y: int):
         # U_t at global t-1 per local slice: previous device's last t-link
         ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=fwd)
         ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
-        return dslash_hop_pallas_ext(psi_ext, U_loc, ut_shift, Y=Y)
+        return dslash_hop_pallas_ext(psi_ext, U_loc, ut_shift, Y=Y,
+                                     dagger=dagger)
 
     # disable the replication/VMA check: the pallas out_shape carries no
     # varying-across-mesh annotation (check_rep on the legacy experimental

@@ -1,0 +1,112 @@
+"""Multi-chip Wilson(-clover) operator on the pallas kernel layout.
+
+The sharded twin of ``pallas.dirac_kernel.WilsonDiracKernel``: kernel-layout
+fields live t(-z)-sharded on a device mesh, the hopping term runs the
+shard_map + ppermute pallas stencil (shard_dslash), and the clover diagonal
+is applied as unrolled elementwise XLA on the globally-sharded arrays (no
+communication — the clover term is site-local).
+
+This is what lets the production eigensolve and loop pipeline scale past
+one chip's HBM (32^3x64 needs ~10 GB of Krylov basis at nKr=48 f32): the
+Lanczos algebra in planar/lanczos.py is pure einsums over the basis, so
+under jit with the basis sharded by this module's ``krylov_sharding`` the
+reductions lower to all-reduces over ICI and nothing else changes.
+
+Reference counterpart: QUDA's multi-GPU Dirac operator consumed at
+lib/eigsolve_mugiq.cpp:169-207, with the 4D domain decomposition of
+SURVEY.md §2.4 restricted to the (t, z) lattice axes.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import EigOperator
+from ..pallas.dirac_kernel import apply_clover_kernel
+from .shard_dslash import (make_sharded_dslash, make_sharded_dslash_2d)
+
+
+def _is_2d(mesh: Mesh) -> bool:
+    return "z" in mesh.shape and mesh.shape["z"] > 1
+
+
+def spinor_sharding(mesh: Mesh, n_leading: int = 0) -> NamedSharding:
+    """Sharding for kernel-layout [T, 24, Z, YX] fields (optionally with
+    ``n_leading`` replicated batch axes, e.g. the Krylov basis index)."""
+    spec = ("t", None, "z", None) if _is_2d(mesh) else ("t", None, None, None)
+    return NamedSharding(mesh, P(*((None,) * n_leading + spec)))
+
+
+def gauge_sharding(mesh: Mesh) -> NamedSharding:
+    spec = (("t", None, None, "z", None) if _is_2d(mesh)
+            else ("t", None, None, None, None))
+    return NamedSharding(mesh, P(*spec))
+
+
+def krylov_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the Lanczos/Arnoldi basis [m+1, T, 24, Z, YX]."""
+    return spinor_sharding(mesh, n_leading=1)
+
+
+@dataclass
+class ShardedWilsonKernel:
+    """Wilson(-clover) M/Mdag/MdagM/MMdag over a ('t'[, 'z']) device mesh.
+
+    U_k [T, 4, 18, Z, YX] placed with gauge_sharding; A_blocks (optional)
+    [T, 2, 6, 6, 2, Z, YX] clover chiral blocks, sharded on T (axis 0) and
+    Z (axis 5) to match.
+    """
+    mesh: Mesh
+    U_k: jnp.ndarray
+    kappa: float
+    Y: int
+    A_blocks: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        mk = make_sharded_dslash_2d if _is_2d(self.mesh) else make_sharded_dslash
+        self._hop = mk(self.mesh, self.Y)
+        self._hop_dag = mk(self.mesh, self.Y, dagger=True)
+        self.Ut_k = self.U_k[:, 3]
+
+    def _diag(self, psi):
+        if self.A_blocks is None:
+            return psi
+        return apply_clover_kernel(self.A_blocks, psi)
+
+    def M(self, psi):
+        return self._diag(psi) - self.kappa * self._hop(
+            psi, self.U_k, self.Ut_k)
+
+    def Mdag(self, psi):
+        # clover diagonal is Hermitian; dagger hop swaps spin projectors
+        return self._diag(psi) - self.kappa * self._hop_dag(
+            psi, self.U_k, self.Ut_k)
+
+    def MdagM(self, psi):
+        return self.Mdag(self.M(psi))
+
+    def MMdag(self, psi):
+        return self.M(self.Mdag(psi))
+
+    def operator(self, which: EigOperator) -> Callable:
+        return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
+                EigOperator.MdagM: self.MdagM,
+                EigOperator.MMdag: self.MMdag}[which]
+
+    @property
+    def field_shape(self):
+        return (self.U_k.shape[0], 24, self.U_k.shape[3], self.U_k.shape[4])
+
+    @property
+    def dtype(self):
+        return self.U_k.dtype
+
+    def place(self, psi_k):
+        """Device-put a kernel-layout field with this operator's sharding."""
+        return jax.device_put(psi_k, spinor_sharding(self.mesh))
+
+    def place_gauge(self, U_k):
+        return jax.device_put(U_k, gauge_sharding(self.mesh))

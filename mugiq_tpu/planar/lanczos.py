@@ -44,64 +44,95 @@ def _norm(w):
     return jnp.sqrt(jnp.sum(w * w))
 
 
+def _jrot(x, ax):
+    """J x: (xr, xi) -> (xi, -xr) on the re/im split axis.
+
+    For re/im-paired arrays the full-array real dot <<a, b>> = sum a*b
+    satisfies Re<a,b> = <<a, b>> and Im<a,b> = <<a, J b>> — so complex
+    algebra decomposes into FULL-array einsums plus this cheap single-array
+    shuffle, never slicing the large operand."""
+    xr, xi = _split(x, ax)
+    return jnp.concatenate([xi, -xr], axis=ax)
+
+
 def _make_ops(ax):
     """Complex vector algebra on real-pair arrays with re/im split on `ax`
-    (for a single vector; basis arrays V have a leading index, split ax+1)."""
+    (for a single vector; basis arrays V have a leading index, split ax+1).
+
+    Perf-critical: the Krylov basis V (nKr x field, the dominant HBM
+    object) is consumed ONLY by full-array einsums — one V read per op.
+    Slicing V into halves would force XLA to materialize ~half-of-V
+    copies per Lanczos step (dot operands can't be fused), which measured
+    ~8x slower on the chip.  J is applied to the single-vector side
+    (dots) or to the small einsum OUTPUT (axpy_sub / rotate) instead."""
 
     def dots(V, w):
-        """d_i = <V_i, w> -> [m1, 2]."""
-        re = jnp.einsum("i...,...->i", V, w)
-        Vr, Vi = _split(V, ax + 1)
-        wr, wi = _split(w, ax)
-        im = jnp.einsum("i...,...->i", Vr, wi) - jnp.einsum("i...,...->i", Vi, wr)
-        return jnp.stack([re, im], axis=-1)
+        """d_i = <V_i, w> -> [m1, 2]; exactly one pass over V."""
+        wb = jnp.stack([w, _jrot(w, ax)])
+        return jnp.einsum("i...,b...->ib", V, wb)
 
     def axpy_sub(w, d, V):
-        """w - sum_i d_i V_i."""
-        dr, di = d[..., 0], d[..., 1]
-        Vr, Vi = _split(V, ax + 1)
-        wr, wi = _split(w, ax)
-        wr = wr - jnp.einsum("i,i...->...", dr, Vr) \
-            + jnp.einsum("i,i...->...", di, Vi)
-        wi = wi - jnp.einsum("i,i...->...", dr, Vi) \
-            - jnp.einsum("i,i...->...", di, Vr)
-        return jnp.concatenate([wr, wi], axis=ax)
+        """w - sum_i d_i V_i; exactly one pass over V."""
+        C = jnp.einsum("ib,i...->b...", d, V)
+        return w - C[0] + _jrot(C[1], ax)
 
     def rotate(V, Qr, Qi):
         """V'_k = sum_i Q[i,k] V_i (complex Q in parts) -> [k, ...]."""
-        Vr, Vi = _split(V, ax + 1)
-        newr = jnp.einsum("ik,i...->k...", Qr, Vr) \
-            - jnp.einsum("ik,i...->k...", Qi, Vi)
-        newi = jnp.einsum("ik,i...->k...", Qr, Vi) \
-            + jnp.einsum("ik,i...->k...", Qi, Vr)
-        return jnp.concatenate([newr, newi], axis=ax + 1)
+        Qb = jnp.stack([Qr, Qi])
+        C = jnp.einsum("bik,i...->bk...", Qb, V)
+        return C[0] - _jrot(C[1], ax + 1)
 
     return dots, axpy_sub, rotate
 
 
-def _make_cycle(matvec, m, rdtype, ax):
+def _make_restart_update(ax, m, k, rdtype):
+    """One jitted, V-donating call for the whole thick-restart update:
+    V[:k] = rotated Ritz vectors, V[k] = residual vector (old V[m]),
+    T rebuilt on device as diag(theta_sel).  Collapses what was four
+    separate dispatches (rotate + two full-V copies + a host T upload)
+    into a single executable."""
+    _, _, rotate = _make_ops(ax)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def restart_update(V, Qr, Qi, theta_sel):
+        Vk = rotate(V, Qr, Qi)                    # [k, ...]
+        vres = V[m]
+        V = V.at[:k].set(Vk).at[k].set(vres)
+        Tn = jnp.zeros((m, m, 2), rdtype)
+        Tn = Tn.at[jnp.arange(k), jnp.arange(k), 0].set(theta_sel)
+        return V, Tn
+
+    return restart_update
+
+
+def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12):
+    """Jitted Lanczos cycle (steps j0..m-1, CGS2 full reorthogonalization).
+
+    block: the cycle is split into step-blocks; within a block the
+    orthogonalization einsums read only the STATIC prefix V[:block_hi].
+    XLA folds a leading-axis prefix slice into the dot without a copy
+    (measured on-chip: half-prefix dots run at ~0.5x full cost), so this
+    cuts average V HBM traffic ~2x on a from-scratch cycle.  block=None
+    disables (single fori over V[:m])."""
     dots, axpy_sub, _ = _make_ops(ax)
 
-    # donate V/Tmat: the caller rebinds them, and the basis is the dominant
-    # HBM object (nKr x field) — donation avoids a full copy per cycle
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def cycle(V, Tmat, j0):
+    def make_step(hi):
+        """Step with prefix V[:hi] (valid for j <= hi-1)."""
         def step(j, carry):
             V, Tmat, _ = carry
             w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False))
-            idx = jnp.arange(V.shape[0])
-            mask = (idx <= j)
-            d = dots(V, w)
-            d = jnp.where(mask[:, None], d, 0.0)
-            w = axpy_sub(w, d, V)
-            d2 = dots(V, w)
-            d2 = jnp.where(mask[:, None], d2, 0.0)
-            w = axpy_sub(w, d2, V)
-            dtot = d + d2
-            col = dtot[:m]
-            colmask = mask[:m]
-            setcol = colmask[:, None] & (idx[None, :m] == j)
-            setrow = (idx[:m, None] == j) & colmask[None, :]
+            Vp = V[:hi]
+            idxh = jnp.arange(hi)
+            maskh = (idxh <= j)
+            d = jnp.where(maskh[:, None], dots(Vp, w), 0.0)
+            w = axpy_sub(w, d, Vp)
+            d2 = jnp.where(maskh[:, None], dots(Vp, w), 0.0)
+            w = axpy_sub(w, d2, Vp)
+            col = jnp.zeros((m, 2), rdtype).at[:hi].set(d + d2)
+            idx = jnp.arange(m)
+            colmask = (idx <= j)
+            setcol = colmask[:, None] & (idx[None, :] == j)
+            setrow = (idx[:, None] == j) & colmask[None, :]
             Tmat = jnp.where(setcol[..., None], col[:, None, :], Tmat)
             conj_col = col * jnp.asarray([1.0, -1.0], dtype=col.dtype)
             Tmat = jnp.where(setrow[..., None], conj_col[None, :, :], Tmat)
@@ -109,15 +140,26 @@ def _make_cycle(matvec, m, rdtype, ax):
             vnext = w / jnp.maximum(beta, jnp.finfo(rdtype).tiny)
             V = jax.lax.dynamic_update_index_in_dim(V, vnext, j + 1, axis=0)
             beta_rc = jnp.stack([beta, jnp.zeros((), rdtype)])
-            sub = (idx[:m, None] == j + 1) & (idx[None, :m] == j)
-            sup = (idx[:m, None] == j) & (idx[None, :m] == j + 1)
+            sub = (idx[:, None] == j + 1) & (idx[None, :] == j)
+            sup = (idx[:, None] == j) & (idx[None, :] == j + 1)
             Tmat = jnp.where(sub[..., None], beta_rc, Tmat)
             Tmat = jnp.where(sup[..., None], beta_rc, Tmat)
             return V, Tmat, beta
 
-        V, Tmat, beta_m = jax.lax.fori_loop(
-            j0, m, step, (V, Tmat, jnp.zeros((), rdtype)))
-        return V, Tmat, beta_m
+        return step
+
+    s = m if block is None else block
+    bounds = [(b * s, min((b + 1) * s, m)) for b in range((m + s - 1) // s)]
+
+    # donate V/Tmat: the caller rebinds them, and the basis is the dominant
+    # HBM object (nKr x field) — donation avoids a full copy per cycle
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def cycle(V, Tmat, j0):
+        carry = (V, Tmat, jnp.zeros((), rdtype))
+        for lo, hi in bounds:
+            carry = jax.lax.fori_loop(jnp.maximum(j0, lo), hi,
+                                      make_step(hi), carry)
+        return carry
 
     return cycle
 
@@ -133,8 +175,24 @@ def lanczos_hermitian_realpair(
     which: str = "SR",
     check_interval: int = 1,
     n_keep: Optional[int] = None,
+    sharding=None,
+    compile_cache: Optional[dict] = None,
 ) -> LanczosPlanarResult:
-    """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields."""
+    """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields.
+
+    sharding (optional): a NamedSharding for the FULL basis [m+1, *field]
+    (e.g. parallel.shard_op.krylov_sharding).  The cycle's einsums then
+    compile to sharded reductions (all-reduce over ICI) with matvec a
+    sharded operator — nothing else changes; pass a matvec built for the
+    same mesh (ShardedWilsonKernel).
+
+    compile_cache (optional): a caller-owned dict; the jitted cycle /
+    restart-update executables are stashed there so REPEATED eigensolves
+    with the same operator skip re-tracing/compiling (each fresh call
+    otherwise rebuilds the jit wrappers — ~20 s of compile on the
+    tunnelled TPU, which dwarfs the ~0.4 s restarts).  Only pass a cache
+    that was created for the SAME matvec (same operator + shapes).
+    """
     shape = v0.shape
     ax = re_im_axis
     assert shape[ax] % 2 == 0
@@ -144,24 +202,40 @@ def lanczos_hermitian_realpair(
     k = max(k, n_ev)
 
     _, _, rotate = _make_ops(ax)
-    cycle = _make_cycle(matvec, m, rdtype, ax)
+    cache = compile_cache if compile_cache is not None else {}
+    ckey = (m, k, shape, str(rdtype), ax)
+    if cache.get("key") != ckey:
+        cache.clear()
+        cache["key"] = ckey
+        cache["cycle"] = _make_cycle(matvec, m, rdtype, ax)
+        cache["restart_update"] = _make_restart_update(ax, m, k, rdtype)
+        cache["rotate"] = jax.jit(rotate)
+        # T+beta fetched in ONE host transfer (each tunnel sync ~30 ms)
+        cache["pack"] = jax.jit(lambda T, b: jnp.concatenate(
+            [jnp.reshape(T, (-1,)), jnp.reshape(b, (1,))]))
+    cycle = cache["cycle"]
+    restart_update = cache["restart_update"]
+    rotate_jit = cache["rotate"]
+    pack = cache["pack"]
 
     v0n = v0 / _norm(v0)
     V = jnp.zeros((m + 1,) + shape, dtype=rdtype).at[0].set(v0n)
+    if sharding is not None:
+        V = jax.device_put(V, sharding)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)
-
-    rotate_jit = jax.jit(rotate)
 
     j0 = 0
     converged = False
-    theta = q = beta_m = sel = None
+    theta = q = beta = sel = None
     for restart in range(max_restarts):
         V, Tmat, beta_m = cycle(V, Tmat, j0)
-        T_host = np.asarray(Tmat[..., 0]) + 1j * np.asarray(Tmat[..., 1])
+        Tb = np.asarray(pack(Tmat, beta_m))
+        beta = float(Tb[-1])
+        T2 = Tb[:-1].reshape(m, m, 2)
+        T_host = T2[..., 0] + 1j * T2[..., 1]
         theta, q = np.linalg.eigh((T_host + T_host.conj().T) / 2)
         sel = (np.arange(k) if which == "SR"
                else np.arange(m - 1, m - 1 - k, -1))
-        beta = float(beta_m)
         resid = np.abs(beta * q[m - 1, sel])
         if (restart + 1) % check_interval == 0 or restart == max_restarts - 1:
             t_np = theta[sel][:n_ev]
@@ -170,19 +244,17 @@ def lanczos_hermitian_realpair(
                 break
         if restart == max_restarts - 1:
             break
-        Qs = q[:, sel]
-        Vk = rotate_jit(V[:m], jnp.asarray(Qs.real, rdtype),
-                        jnp.asarray(Qs.imag, rdtype))
-        V = V.at[:k].set(Vk)
-        V = V.at[k].set(V[m])
-        Tn = np.zeros((m, m, 2), dtype=np.asarray(Tmat).dtype)
-        Tn[np.arange(k), np.arange(k), 0] = theta[sel]
-        Tmat = jnp.asarray(Tn)
+        # zero-padded row m: rotate over the FULL V buffer (a V[:m] slice
+        # would materialize a near-full copy as the dot operand)
+        Qs = np.vstack([q[:, sel], np.zeros((1, k), dtype=q.dtype)])
+        V, Tmat = restart_update(V, jnp.asarray(Qs.real, rdtype),
+                                 jnp.asarray(Qs.imag, rdtype),
+                                 jnp.asarray(theta[sel], rdtype))
         j0 = k
 
     sel_np = np.asarray(sel)[:n_ev]
-    Qs = q[:, sel_np]
-    evecs = rotate_jit(V[:m], jnp.asarray(Qs.real, rdtype),
+    Qs = np.vstack([q[:, sel_np], np.zeros((1, n_ev), dtype=q.dtype)])
+    evecs = rotate_jit(V, jnp.asarray(Qs.real, rdtype),
                        jnp.asarray(Qs.imag, rdtype))
     nrm = jnp.sqrt(jnp.sum(evecs * evecs,
                            axis=tuple(range(1, evecs.ndim)), keepdims=True))
@@ -190,7 +262,7 @@ def lanczos_hermitian_realpair(
     return LanczosPlanarResult(
         evals=theta[sel_np],
         evecs=evecs,
-        resids=np.abs(float(beta_m) * q[m - 1, sel_np]),
+        resids=np.abs(beta * q[m - 1, sel_np]),
         n_restarts=restart + 1,
         converged=converged,
     )
