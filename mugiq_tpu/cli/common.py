@@ -28,6 +28,8 @@ def add_lattice_args(p: argparse.ArgumentParser):
                    help="working precision (double forces the CPU/x64 path)")
     g.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu)")
+    g.add_argument("--compile-cache", choices=["yes", "no"], default="yes",
+                   help="persistent XLA executable cache (tune-cache analog)")
 
 
 def add_dirac_args(p: argparse.ArgumentParser):
@@ -88,6 +90,15 @@ def setup_jax(args):
         jax.config.update("jax_platforms", args.platform)
     if args.prec == "double":
         jax.config.update("jax_enable_x64", True)
+    # persistent executable cache — the saveTuneCache analog
+    # (lib/interface_mugiq.cpp:72): first compiles through the TPU tunnel
+    # cost minutes; repeat runs of the same shapes skip them entirely.
+    if getattr(args, "compile_cache", "yes") != "no":
+        from ..profiling import enable_compilation_cache
+        try:
+            enable_compilation_cache()
+        except Exception:
+            pass  # read-only home etc. — never fatal
 
 
 def build_params(args):
