@@ -22,6 +22,10 @@ def main(argv=None):
     add_dirac_args(p)
     add_eig_args(p)
     add_mg_args(p)
+    p.add_argument("--production", action="store_true",
+                   help="run the TPU production path (real-pair/pallas "
+                        "kernel-layout eigensolve, f32) instead of the "
+                        "complex validation path")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -45,6 +49,32 @@ def main(argv=None):
         return 0
 
     import jax.numpy as jnp
+
+    if args.production:
+        import numpy as np
+        from ..production import compute_evecs_production
+
+        t0 = time.time()
+        res, evals, sigma, resids = compute_evecs_production(
+            np.asarray(U), gp, ip, ep)
+        if not res.converged:
+            log("WARNING: production eigensolve did NOT converge to "
+                "tolerance")
+        for i in range(len(evals)):
+            log(f"Mugiq: Eval[{i:04d}] = {evals[i]:+.16e} , "
+                f"Residual = {resids[i]:+.16e}")
+        for i in range(len(sigma)):
+            log(f"Mugiq: Sigma[{i:04d}] = {sigma[i]:+.16e}")
+        log(f"Time for solution = {time.time() - t0:.3f} s")
+        print_profile()
+        if args.eig_vec_outfile:
+            from ..io.gauge_io import save_evecs
+            save_evecs(args.eig_vec_outfile, res.evecs, evals,
+                       sigma=sigma, resids=np.asarray(resids),
+                       attrs={"dims": str(geom.dims), "kappa": str(ip.kappa),
+                              "layout": "kernel-realpair"})
+            log(f"Eigenvectors saved to {args.eig_vec_outfile}")
+        return 0
 
     t0 = time.time()
     U_dev = jnp.asarray(U)   # validation path: complex device array (CPU)

@@ -8,15 +8,15 @@ host.  Supports the M / Mdag operator choices of the reference
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg as sla
 
-from ..planar.lanczos import _make_ops, _norm
+from ..planar.lanczos import (_make_cycle, _make_ops, _make_rotate_update,
+                              _norm)
 
 
 @dataclass
@@ -35,41 +35,6 @@ def _select(evals, which):
     return np.argsort(key, kind="stable")
 
 
-def _make_cycle(matvec, m, rdtype, ax):
-    dots, axpy_sub, _ = _make_ops(ax)
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def cycle(V, Hmat, j0):
-        def step(j, carry):
-            V, Hmat, _ = carry
-            w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False))
-            idx = jnp.arange(V.shape[0])
-            mask = (idx <= j)
-            d = dots(V, w)
-            d = jnp.where(mask[:, None], d, 0.0)
-            w = axpy_sub(w, d, V)
-            d2 = dots(V, w)
-            d2 = jnp.where(mask[:, None], d2, 0.0)
-            w = axpy_sub(w, d2, V)
-            dtot = d + d2
-            # column j only (general operator: no hermitian mirror)
-            setcol = mask[:m, None] & (idx[None, :m] == j)
-            Hmat = jnp.where(setcol[..., None], dtot[:m][:, None, :], Hmat)
-            beta = _norm(w)
-            vnext = w / jnp.maximum(beta, jnp.finfo(rdtype).tiny)
-            V = jax.lax.dynamic_update_index_in_dim(V, vnext, j + 1, axis=0)
-            beta_rc = jnp.stack([beta, jnp.zeros((), rdtype)])
-            sub = (idx[:m, None] == j + 1) & (idx[None, :m] == j)
-            Hmat = jnp.where(sub[..., None], beta_rc, Hmat)
-            return V, Hmat, beta
-
-        V, Hmat, beta_m = jax.lax.fori_loop(
-            j0, m, step, (V, Hmat, jnp.zeros((), rdtype)))
-        return V, Hmat, beta_m
-
-    return cycle
-
-
 def arnoldi_krylov_schur_realpair(
     matvec: Callable,
     v0: jnp.ndarray,
@@ -80,7 +45,11 @@ def arnoldi_krylov_schur_realpair(
     max_restarts: int = 200,
     which: str = "SM",
     check_interval: int = 1,
+    sharding=None,
+    compile_cache: Optional[dict] = None,
 ) -> ArnoldiRealpairResult:
+    """sharding / compile_cache: as in lanczos_hermitian_realpair — shard
+    the basis over a device mesh / reuse jitted executables across calls."""
     shape = v0.shape
     ax = re_im_axis
     rdtype = v0.dtype
@@ -88,11 +57,25 @@ def arnoldi_krylov_schur_realpair(
     k = min(n_ev + max(1, (m - n_ev) // 2), m - 2)
 
     _, _, rotate = _make_ops(ax)
-    rotate_jit = jax.jit(rotate)
-    cycle = _make_cycle(matvec, m, rdtype, ax)
+    cache = compile_cache if compile_cache is not None else {}
+    ckey = ("arnoldi", m, k, shape, str(rdtype), ax)
+    if cache.get("key") != ckey:
+        cache.clear()
+        cache["key"] = ckey
+        cache["cycle"] = _make_cycle(matvec, m, rdtype, ax, hermitian=False)
+        cache["rotate_update"] = _make_rotate_update(ax, m, k)
+        cache["rotate"] = jax.jit(rotate)
+        cache["pack"] = jax.jit(lambda H, b: jnp.concatenate(
+            [jnp.reshape(H, (-1,)), jnp.reshape(b, (1,))]))
+    cycle = cache["cycle"]
+    rotate_update = cache["rotate_update"]
+    rotate_jit = cache["rotate"]
+    pack = cache["pack"]
 
     v0n = v0 / _norm(v0)
     V = jnp.zeros((m + 1,) + shape, dtype=rdtype).at[0].set(v0n)
+    if sharding is not None:
+        V = jax.device_put(V, sharding)
     H = jnp.zeros((m, m, 2), dtype=rdtype)
 
     j0 = 0
@@ -100,8 +83,10 @@ def arnoldi_krylov_schur_realpair(
     theta = y = beta = sel = None
     for restart in range(max_restarts):
         V, H, beta_m = cycle(V, H, j0)
-        H_host = np.asarray(H[..., 0]) + 1j * np.asarray(H[..., 1])
-        beta = float(beta_m)
+        Hb = np.asarray(pack(H, beta_m))      # one host transfer
+        beta = float(Hb[-1])
+        H2 = Hb[:-1].reshape(m, m, 2)
+        H_host = H2[..., 0] + 1j * H2[..., 1]
         theta, y = np.linalg.eig(H_host)
         sel = _select(theta, which)
         resid = np.abs(beta * y[m - 1, sel])
@@ -118,10 +103,10 @@ def arnoldi_krylov_schur_realpair(
         cutoff = np.sort(keymap(theta))[k - 1]
         T, Q, _sdim = sla.schur(H_host, output="complex",
                                 sort=lambda x: bool(keymap(x) <= cutoff))
-        Vk = rotate_jit(V[:m], jnp.asarray(Q[:, :k].real, rdtype),
-                        jnp.asarray(Q[:, :k].imag, rdtype))
-        V = V.at[:k].set(Vk)
-        V = V.at[k].set(V[m])
+        # zero-padded row m: rotate over the FULL donated V buffer
+        Qs = np.vstack([Q[:, :k], np.zeros((1, k), dtype=Q.dtype)])
+        V = rotate_update(V, jnp.asarray(Qs.real, rdtype),
+                          jnp.asarray(Qs.imag, rdtype))
         Hn = np.zeros((m, m), dtype=np.complex128)
         Hn[:k, :k] = T[:k, :k]
         Hn[k, :k] = beta * Q[m - 1, :k]
@@ -129,8 +114,9 @@ def arnoldi_krylov_schur_realpair(
         j0 = k
 
     sel_np = sel[:n_ev]
-    evecs = rotate_jit(V[:m], jnp.asarray(y[:, sel_np].real, rdtype),
-                       jnp.asarray(y[:, sel_np].imag, rdtype))
+    Ys = np.vstack([y[:, sel_np], np.zeros((1, n_ev), dtype=y.dtype)])
+    evecs = rotate_jit(V, jnp.asarray(Ys.real, rdtype),
+                       jnp.asarray(Ys.imag, rdtype))
     nrm = jnp.sqrt(jnp.sum(evecs * evecs,
                            axis=tuple(range(1, evecs.ndim)), keepdims=True))
     evecs = evecs / nrm

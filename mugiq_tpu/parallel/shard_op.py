@@ -51,6 +51,13 @@ def krylov_sharding(mesh: Mesh) -> NamedSharding:
     return spinor_sharding(mesh, n_leading=1)
 
 
+def clover_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for clover chiral blocks [T, 2, 6, 6, 2, Z, YX]."""
+    spec = (("t", None, None, None, None, "z", None) if _is_2d(mesh)
+            else ("t", None, None, None, None, None, None))
+    return NamedSharding(mesh, P(*spec))
+
+
 @dataclass
 class ShardedWilsonKernel:
     """Wilson(-clover) M/Mdag/MdagM/MMdag over a ('t'[, 'z']) device mesh.
@@ -110,3 +117,13 @@ class ShardedWilsonKernel:
 
     def place_gauge(self, U_k):
         return jax.device_put(U_k, gauge_sharding(self.mesh))
+
+    @classmethod
+    def from_kernel_op(cls, mesh: Mesh, op) -> "ShardedWilsonKernel":
+        """Shard a single-device WilsonDiracKernel's fields over `mesh`."""
+        A = op.A_blocks
+        if A is not None:
+            A = jax.device_put(A, clover_sharding(mesh))
+        return cls(mesh=mesh,
+                   U_k=jax.device_put(op.U_k, gauge_sharding(mesh)),
+                   kappa=op.kappa, Y=op.Y, A_blocks=A)

@@ -85,6 +85,21 @@ def _make_ops(ax):
     return dots, axpy_sub, rotate
 
 
+def _make_rotate_update(ax, m, k):
+    """V[:k] = rotated basis, V[k] = residual (old V[m]) — one donated jit.
+    The projected-matrix rebuild is left to the caller (Krylov-Schur needs
+    a dense host-side Schur block; Lanczos uses _make_restart_update)."""
+    _, _, rotate = _make_ops(ax)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def rotate_update(V, Qr, Qi):
+        Vk = rotate(V, Qr, Qi)
+        vres = V[m]
+        return V.at[:k].set(Vk).at[k].set(vres)
+
+    return rotate_update
+
+
 def _make_restart_update(ax, m, k, rdtype):
     """One jitted, V-donating call for the whole thick-restart update:
     V[:k] = rotated Ritz vectors, V[k] = residual vector (old V[m]),
@@ -105,8 +120,13 @@ def _make_restart_update(ax, m, k, rdtype):
     return restart_update
 
 
-def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12):
-    """Jitted Lanczos cycle (steps j0..m-1, CGS2 full reorthogonalization).
+def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
+                hermitian: bool = True):
+    """Jitted Krylov cycle (steps j0..m-1, CGS2 full reorthogonalization).
+
+    hermitian=True records the Lanczos T (column + conjugate row + real
+    beta sub/super-diagonal); hermitian=False records only the Arnoldi/
+    Krylov-Schur Hessenberg column + beta sub-diagonal.
 
     block: the cycle is split into step-blocks; within a block the
     orthogonalization einsums read only the STATIC prefix V[:block_hi].
@@ -132,18 +152,20 @@ def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12):
             idx = jnp.arange(m)
             colmask = (idx <= j)
             setcol = colmask[:, None] & (idx[None, :] == j)
-            setrow = (idx[:, None] == j) & colmask[None, :]
             Tmat = jnp.where(setcol[..., None], col[:, None, :], Tmat)
-            conj_col = col * jnp.asarray([1.0, -1.0], dtype=col.dtype)
-            Tmat = jnp.where(setrow[..., None], conj_col[None, :, :], Tmat)
             beta = _norm(w)
             vnext = w / jnp.maximum(beta, jnp.finfo(rdtype).tiny)
             V = jax.lax.dynamic_update_index_in_dim(V, vnext, j + 1, axis=0)
             beta_rc = jnp.stack([beta, jnp.zeros((), rdtype)])
             sub = (idx[:, None] == j + 1) & (idx[None, :] == j)
-            sup = (idx[:, None] == j) & (idx[None, :] == j + 1)
             Tmat = jnp.where(sub[..., None], beta_rc, Tmat)
-            Tmat = jnp.where(sup[..., None], beta_rc, Tmat)
+            if hermitian:
+                setrow = (idx[:, None] == j) & colmask[None, :]
+                conj_col = col * jnp.asarray([1.0, -1.0], dtype=col.dtype)
+                Tmat = jnp.where(setrow[..., None], conj_col[None, :, :],
+                                 Tmat)
+                sup = (idx[:, None] == j) & (idx[None, :] == j + 1)
+                Tmat = jnp.where(sup[..., None], beta_rc, Tmat)
             return V, Tmat, beta
 
         return step

@@ -158,40 +158,49 @@ def _rc_evecs_to_planar(evecs_rc):
     return jnp.transpose(evecs_rc, (0, 7, 5, 6, 1, 2, 3, 4))
 
 
-def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
-                            inv: InvertParam, eig: EigParam,
-                            loop_param: LoopParam,
-                            U_loop_np: Optional[np.ndarray] = None,
-                            keep_pos: bool = False,
-                            use_mg: bool = False, mg=None,
-                            seed: int = 1234) -> ProductionResult:
-    """Deflated disconnected loops, all compute on TPU f32.
+def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
+                             inv: InvertParam, eig: EigParam,
+                             mesh=None, seed: int = 1234):
+    """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
-    use_mg=True eigensolves the MG-coarse operator (real-pair Galerkin
-    hierarchy, mg/rc_mg.py) and prolongates, like the reference's
-    computeCoarse path."""
-    if use_mg:
-        return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
-                                           mg, U_loop_np, keep_pos, seed)
+    The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
+    lib/interface_mugiq.cpp:122-156): pallas Wilson(-clover) operator,
+    thick-restart Lanczos (+ optional Chebyshev), then the computeEvals
+    analog (Rayleigh + mass-normalization rescale + residuals + sigma).
+
+    mesh (optional): shard operator + Krylov basis over a ('t'[, 'z'])
+    device mesh.  Returns (LanczosPlanarResult, evals, sigma, resids).
+    """
     geom = LatticeGeometry(gauge.dims)
     op = build_kernel_dirac(U_np, gauge, inv)
-    cp = LoopComputeParam.build(geom, loop_param)
+
+    lanczos_kw = {}
+    if mesh is not None:
+        from .parallel.shard_op import ShardedWilsonKernel, krylov_sharding
+        op = ShardedWilsonKernel.from_kernel_op(mesh, op)
+        lanczos_kw["sharding"] = krylov_sharding(mesh)
 
     # start vector (host numpy)
     rng = np.random.default_rng(seed)
     v0 = jnp.asarray(rng.standard_normal(
         (geom.Lt, 24, geom.Lz, geom.Ly * geom.Lx)), dtype=jnp.float32)
+    if mesh is not None:
+        v0 = op.place(v0)
+
+    base_op = op.operator(eig.operator if eig.operator in
+                          (EigOperator.MdagM, EigOperator.MMdag)
+                          else EigOperator.MdagM)
 
     # optional Chebyshev acceleration (works unchanged on real-pair fields:
     # only matvec + real-scalar algebra)
-    it_op = op.MdagM
+    it_op = base_op
     it_which = eig.spectrum.value
     if eig.use_poly_acc:
         from .eig.lanczos import chebyshev_op, estimate_spectral_edge
         a_max = eig.a_max
         if a_max <= 0:
-            a_max = estimate_spectral_edge(jax.jit(op.MdagM), v0)
-        it_op = chebyshev_op(op.MdagM, eig.poly_deg, eig.a_min, a_max)
+            a_max = estimate_spectral_edge(jax.jit(base_op), v0)
+        it_op = chebyshev_op(base_op, eig.poly_deg, eig.a_min, a_max)
         it_which = "LR"
         log(f"production eigensolve: Chebyshev deg={eig.poly_deg} "
             f"window=[{eig.a_min}, {a_max:.4f}]")
@@ -200,7 +209,8 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
         res = lanczos_hermitian_realpair(
             it_op, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
             tol=eig.tol, max_restarts=eig.max_restarts,
-            which=it_which, check_interval=eig.check_interval)
+            which=it_which, check_interval=eig.check_interval,
+            **lanczos_kw)
     log(f"production eigensolve: converged={res.converged} "
         f"restarts={res.n_restarts}")
 
@@ -210,7 +220,7 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
 
     @jax.jit
     def rayleigh(v):
-        w = op.MdagM(v) * scale
+        w = base_op(v) * scale
         num = jnp.sum(v * w)
         den = jnp.sqrt(jnp.sum(v * v))
         lam = num / den
@@ -224,6 +234,35 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
         rs.append(float(r))
     evals = np.asarray(lams)
     sigma = np.sqrt(np.maximum(evals, 0.0))
+    return res, evals, sigma, rs
+
+
+def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
+                            inv: InvertParam, eig: EigParam,
+                            loop_param: LoopParam,
+                            U_loop_np: Optional[np.ndarray] = None,
+                            keep_pos: bool = False,
+                            use_mg: bool = False, mg=None,
+                            mesh=None,
+                            seed: int = 1234) -> ProductionResult:
+    """Deflated disconnected loops, all compute on TPU f32.
+
+    use_mg=True eigensolves the MG-coarse operator (real-pair Galerkin
+    hierarchy, mg/rc_mg.py) and prolongates, like the reference's
+    computeCoarse path.
+
+    mesh (optional): a jax Mesh with a 't' (and optionally 'z') axis — the
+    4D lattice domain decomposition (SURVEY.md §2.4 item 1).  The operator
+    runs as the shard_map+ppermute pallas stencil, the Krylov basis is
+    sharded over the mesh (memory path to 32^3x64: V is ~10 GB at nKr=48),
+    and the measurement propagates the sharding through XLA."""
+    if use_mg:
+        return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
+                                           mg, U_loop_np, keep_pos, seed)
+    geom = LatticeGeometry(gauge.dims)
+    cp = LoopComputeParam.build(geom, loop_param)
+    res, evals, sigma, rs = compute_evecs_production(
+        U_np, gauge, inv, eig, mesh=mesh, seed=seed)
 
     # kernel layout -> planar for the measurement
     Yext = geom.dims[1]

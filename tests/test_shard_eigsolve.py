@@ -76,6 +76,36 @@ def test_sharded_clover_m_matches_single_device():
     np.testing.assert_allclose(np.asarray(op.Mdag(psi_s)), ref_d, atol=2e-6)
 
 
+def test_sharded_production_pipeline_matches_unsharded(tmp_path):
+    """compute_loop_production(mesh=...) — sharded operator + Krylov basis +
+    measurement — reproduces the single-device production result."""
+    from mugiq_tpu.params import (DslashType, EigParam, GaugeParam,
+                                  InvertParam, LoopParam, EigOperator)
+    from mugiq_tpu.production import compute_loop_production
+
+    geom = LatticeGeometry((8, 4, 4, 8))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.115)
+    ep = EigParam(n_ev=3, n_kr=16, tol=5e-5, max_restarts=300,
+                  operator=EigOperator.MdagM)
+    lp = LoopParam(momenta=[(0, 0, 0), (1, 0, 0)], do_mom_proj=True,
+                   do_nonlocal=True, disp_entries=["+z:1"])
+    U = np.asarray(fields.weak_gauge(geom, eps=0.2, seed=13))
+
+    ref = compute_loop_production(U, gp, ip, ep, lp)
+    assert ref.converged
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "z"))
+    got = compute_loop_production(U, gp, ip, ep, lp, mesh=mesh)
+    assert got.converged
+    np.testing.assert_allclose(np.sort(got.evals), np.sort(ref.evals),
+                               rtol=1e-3)
+    # sharded all-reduces reorder the f32 sums; after ~170 restarts the
+    # subspace phases drift slightly -> compare with an absolute floor
+    np.testing.assert_allclose(got.data_mom, ref.data_mom,
+                               rtol=5e-3, atol=2e-3)
+
+
 def test_sharded_lanczos_matches_single_device():
     # random gauge: spread spectrum (the weak-field one is too clustered
     # for f32 Lanczos to converge quickly)
