@@ -13,8 +13,16 @@ write out: 2*96 + 8*72 bytes), so SOL = HBM_BW/768 * 1320; v5e HBM ~819 GB/s
 
 Timing notes for the tunnelled backend: ``block_until_ready`` does NOT
 actually block here — completion is forced by an f32 scalar readback that
-depends on the result — and each sync pays a ~tens-of-ms round trip, removed
-by differencing two chain lengths.
+depends on the result — and each sync pays a ~tens-of-ms round trip.  The
+apply chain therefore lives INSIDE one jitted ``lax.fori_loop`` (one
+dispatch + one readback per timing, regardless of chain length), the RTT is
+removed by differencing two chain lengths, and the per-chain time is a min
+over repeats.  A short chain could be swamped by RTT jitter and produce a
+negative difference (this happened: round-1 driver run logged -7.1 us/apply
+off a 50-apply Python-dispatch chain), so chains here carry hundreds of
+applies (~100+ ms of signal) and the result is guarded: a non-positive
+difference falls back to the gross long-chain estimate, which includes the
+RTT spread over the chain (<1% at these lengths) and can never be negative.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,6 +30,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +39,9 @@ DIMS = (16, 16, 16, 32)          # Lx, Ly, Lz, Lt
 FLOP_PER_SITE = 1320             # standard Wilson dslash count
 BYTES_PER_SITE = 2 * 96 + 8 * 72   # psi + out + links, f32 re/im pairs
 V5E_HBM_GBS = 819.0
+
+N_SHORT, N_LONG = 8, 808         # chain lengths; diff = 800 applies
+REPEATS = 5
 
 _SUM = None
 
@@ -42,19 +54,19 @@ def _force(x):
     return float(_SUM(x))
 
 
-def _time_chain(f, U, psi, n):
+def _time_once(chain, U, psi):
     t0 = time.perf_counter()
-    o = psi
-    for _ in range(n):
-        o = f(U, o)
-    _force(o)
+    _force(chain(U, psi))
     return time.perf_counter() - t0
 
 
 def main():
     from mugiq_tpu.lattice import LatticeGeometry
+    from mugiq_tpu.profiling import enable_compilation_cache
     from mugiq_tpu.rc.host import gauge_rc, spinor_rc
     import mugiq_tpu.pallas.dslash_kernel as dk
+
+    enable_compilation_cache()
 
     # all complex-valued setup on host (device complex arrays are
     # unsupported here); only f32 arrays ever reach the chip
@@ -69,16 +81,25 @@ def main():
     psi_k = dk.to_kernel_spinor(psi_pl)
     Y = DIMS[1]
 
-    f = jax.jit(lambda U, p: dk.dslash_hop_pallas(p, U, Ut_k, Y=Y))
-    _force(f(U_k, psi_k))              # compile + warm up
+    @partial(jax.jit, static_argnums=2)
+    def chain(U, p, n):
+        Ut = U[:, 3]
+        body = lambda _, o: dk.dslash_hop_pallas(o, U, Ut, Y=Y)
+        return jax.lax.fori_loop(0, n, body, p)
+
+    chain_s = partial(chain, n=N_SHORT)
+    chain_l = partial(chain, n=N_LONG)
+    _force(chain_s(U_k, psi_k))        # compile + warm up
+    _force(chain_l(U_k, psi_k))
     print("bench: compiled, timing...", file=sys.stderr)
 
-    n1, n2 = 10, 60
-    per_op = float("inf")
-    for _ in range(3):
-        t1 = _time_chain(f, U_k, psi_k, n1)
-        t2 = _time_chain(f, U_k, psi_k, n2)
-        per_op = min(per_op, (t2 - t1) / (n2 - n1))
+    ts = min(_time_once(chain_s, U_k, psi_k) for _ in range(REPEATS))
+    tl = min(_time_once(chain_l, U_k, psi_k) for _ in range(REPEATS))
+    per_op = (tl - ts) / (N_LONG - N_SHORT)
+    if per_op <= 0:                    # RTT jitter swamped the signal
+        print(f"bench: differencing failed (ts={ts:.4f}s tl={tl:.4f}s); "
+              "using gross long-chain estimate", file=sys.stderr)
+        per_op = tl / N_LONG
 
     vol = geom.volume
     gflops = FLOP_PER_SITE * vol / per_op / 1e9

@@ -26,6 +26,9 @@ def main(argv=None):
                    help="run the TPU production path (real-pair/pallas "
                         "kernel-layout eigensolve, f32) instead of the "
                         "complex validation path")
+    p.add_argument("--autotune", action="store_true",
+                   help="autotune the pallas operator variant for this "
+                        "lattice size (persists in the tune cache)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -56,7 +59,7 @@ def main(argv=None):
 
         t0 = time.time()
         res, evals, sigma, resids = compute_evecs_production(
-            np.asarray(U), gp, ip, ep)
+            np.asarray(U), gp, ip, ep, autotune=args.autotune)
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")

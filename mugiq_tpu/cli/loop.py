@@ -42,6 +42,9 @@ def main(argv=None):
     g.add_argument("--production", action="store_true",
                    help="run the TPU production path (real-pair/pallas "
                         "kernels, f32) instead of the complex validation path")
+    g.add_argument("--autotune", action="store_true",
+                   help="autotune the pallas operator variant for this "
+                        "lattice size (persists in the tune cache)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -94,7 +97,7 @@ def main(argv=None):
 
         res = compute_loop_production(
             U, gp, ip, ep, lp,
-            U_loop_np=U_loop,
+            U_loop_np=U_loop, autotune=args.autotune,
             use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
         for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")

@@ -136,11 +136,33 @@ class WilsonDiracKernel:
                                ).reshape(1, 24, 1, 1)
         self._A144 = (jnp.zeros((1,), self.U_k.dtype) if self.A_blocks is None
                       else pack_clover_kernel144(self.A_blocks))
+        self._m_fn = self._mdag_fn = None
+
+    def tune(self, psi=None, force=False):
+        """Autotune the fused M/Mdag kernel variant for this lattice size on
+        the live backend; the winner persists in the tune cache (the
+        reference's QUDA autotune + saveTuneCache,
+        lib/interface_mugiq.cpp:72)."""
+        from .autotune import tune_wilson_m
+
+        if psi is None:
+            T, _, _, Z, YX = self.U_k.shape
+            psi = jnp.zeros((T, 24, Z, YX), self.U_k.dtype) + 0.5
+        has_c = self.A_blocks is not None
+        _, self._m_fn = tune_wilson_m(self.U_k, self.Ut_k, self._A144,
+                                      self.Y, self.kappa, has_c, psi,
+                                      dagger=False, force=force)
+        _, self._mdag_fn = tune_wilson_m(self.U_k, self.Ut_k, self._A144,
+                                         self.Y, self.kappa, has_c, psi,
+                                         dagger=True, force=force)
+        return self
 
     def M(self, psi):
         """Fully fused: A psi - kappa*hop in ONE kernel pass (clover as
         in-VMEM chiral 6x6 blocks)."""
         from .dslash_kernel import wilson_m_pallas
+        if self._m_fn is not None:
+            return self._m_fn(psi)
         return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
                                Y=self.Y, kappa=self.kappa, dagger=False,
                                has_clover=self.A_blocks is not None)
@@ -149,6 +171,8 @@ class WilsonDiracKernel:
         """M^dag via the dagger-variant fused kernel (g5 folded into the
         spin projectors; the clover diagonal is Hermitian)."""
         from .dslash_kernel import wilson_m_pallas
+        if self._mdag_fn is not None:
+            return self._mdag_fn(psi)
         return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
                                Y=self.Y, kappa=self.kappa, dagger=True,
                                has_clover=self.A_blocks is not None)

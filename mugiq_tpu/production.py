@@ -107,6 +107,22 @@ def loop_contract_production(vL, vR, inv_sigma):
     return jnp.stack([outr, outi]).reshape((2, 16) + shape)
 
 
+def planar_spinor_sharding(mesh, n_leading: int = 1):
+    """NamedSharding for planar [.., 2, 4, 3, T, Z, Y, X] fields: T on the
+    't' mesh axis, Z on 'z' (if present)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    z = "z" if ("z" in mesh.shape and mesh.shape["z"] > 1) else None
+    return NamedSharding(
+        mesh, P(*((None,) * n_leading + (None, None, None, "t", z,
+                                         None, None))))
+
+
+def planar_gauge_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    z = "z" if ("z" in mesh.shape and mesh.shape["z"] > 1) else None
+    return NamedSharding(mesh, P(None, None, None, None, "t", z, None, None))
+
+
 def momentum_project_production(data, ph):
     """data [l, 2, 16, T, Z, Y, X]; ph [2, Z, Y, X, P] -> [l, 2, 16, T, P].
 
@@ -160,7 +176,8 @@ def _rc_evecs_to_planar(evecs_rc):
 
 def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                              inv: InvertParam, eig: EigParam,
-                             mesh=None, seed: int = 1234):
+                             mesh=None, seed: int = 1234,
+                             autotune: bool = False):
     """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
     The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
@@ -173,6 +190,9 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     """
     geom = LatticeGeometry(gauge.dims)
     op = build_kernel_dirac(U_np, gauge, inv)
+    if autotune and mesh is None:
+        with phase_timer("autotune"):
+            op.tune()
 
     lanczos_kw = {}
     if mesh is not None:
@@ -243,7 +263,7 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
                             U_loop_np: Optional[np.ndarray] = None,
                             keep_pos: bool = False,
                             use_mg: bool = False, mg=None,
-                            mesh=None,
+                            mesh=None, autotune: bool = False,
                             seed: int = 1234) -> ProductionResult:
     """Deflated disconnected loops, all compute on TPU f32.
 
@@ -262,7 +282,7 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     res, evals, sigma, rs = compute_evecs_production(
-        U_np, gauge, inv, eig, mesh=mesh, seed=seed)
+        U_np, gauge, inv, eig, mesh=mesh, seed=seed, autotune=autotune)
 
     # kernel layout -> planar for the measurement
     Yext = geom.dims[1]
@@ -271,7 +291,8 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
 
     data_mom, pos_np = _measure_production(
         geom, loop_param, cp, evecs_pl, sigma,
-        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos)
+        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos,
+        mesh=mesh)
 
     return ProductionResult(
         evals=evals, sigma=sigma, resids=np.asarray(rs),
@@ -280,11 +301,20 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
 
 
 def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
-                        keep_pos):
-    """Shared measurement tail: contraction slots, g5 map, FT, HDF5."""
+                        keep_pos, mesh=None):
+    """Shared measurement tail: contraction slots, g5 map, FT, HDF5.
+
+    mesh (optional): keep the whole measurement sharded over the ('t'[,'z'])
+    device mesh — contractions stay site-local, displacement rolls lower to
+    collective permutes, and the momentum projection runs in einsum form so
+    the (z,y,x) contraction reduces across shards (the COMM_SPACE
+    MPI_Reduce of loop_mugiq.cpp:406) without re-gathering position data."""
     inv_sigma = jnp.asarray(1.0 / sigma, dtype=jnp.float32)
     contract = jax.jit(loop_contract_production)
     U_loop_pl = jnp.asarray(_planar_gauge_np(U_loop_np, False))
+    if mesh is not None:
+        evecs_pl = jax.device_put(evecs_pl, planar_spinor_sharding(mesh))
+        U_loop_pl = jax.device_put(U_loop_pl, planar_gauge_sharding(mesh))
 
     slots = [None] * cp.n_loop
     with phase_timer("loop-contraction"):
@@ -302,11 +332,16 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
 
     data_mom = None
     if loop_param.do_mom_proj:
+        from .planar.phase import momentum_project_planar
         ph = phase_matrix_planar(geom, loop_param.momenta,
                                  int(loop_param.ft_sign))
         with phase_timer("momentum-projection"):
             mapped = map_gamma_g5_planar(data_pos)
-            lgtp = momentum_project_production(mapped, ph)
+            if mesh is not None:
+                # einsum form: (z,y,x) contraction psums across shards
+                lgtp = jax.jit(momentum_project_planar)(mapped, ph)
+            else:
+                lgtp = momentum_project_production(mapped, ph)
         arr = np.asarray(lgtp)               # [l, 2, 16, T, P]
         cplx = arr[:, 0] + 1j * arr[:, 1]
         data_mom = np.transpose(cplx, (3, 0, 1, 2))   # [P, l, 16, T]
