@@ -242,11 +242,18 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
 
 
 def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
-                   clover: bool):
+                   clover: bool, z_ext: bool = False):
     """Fused full-operator kernel: out = A psi - kappa * hop(psi)
     (A = 1 without clover).  The clover matrix arrives as chiral 6x6 blocks
-    flattened to 144 components: idx = ((chi*6 + k)*6 + j)*2 + r."""
-    compute = make_slice_compute(Z, Y, X, dagger=dagger)
+    flattened to 144 components: idx = ((chi*6 + k)*6 + j)*2 + r.
+
+    z_ext=True: spinor/gauge input blocks carry one z-halo row each side
+    (sharded-z operation, see shard_dslash); the clover block carries only
+    the Z interior rows (it is site-local), and only interior rows are
+    written."""
+    Zc = Z + 2 if z_ext else Z
+    compute = make_slice_compute(Zc, Y, X, dagger=dagger)
+    sl = slice(1, Z + 1) if z_ext else slice(None)
 
     def kernel(*refs):
         if clover:
@@ -269,10 +276,12 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
                 lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b],
                 write)
 
-        pc = pref(pc_ref)
+        # diagonal + combine on interior rows only
+        pc = lambda s, c, r: pref(pc_ref)(s, c, r)[sl]
         for s in range(4):
             for c in range(3):
                 hr, hi = hop[(s, c)]
+                hr, hi = hr[sl], hi[sl]
                 if A_ref is None:
                     dr = pc(s, c, 0)
                     di = pc(s, c, 1)

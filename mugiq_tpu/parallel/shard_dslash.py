@@ -30,7 +30,8 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..pallas.dslash_kernel import _make_kernel, pallas_call_auto
+from ..pallas.dslash_kernel import (_make_kernel, _make_m_kernel,
+                                    pallas_call_auto)
 
 
 @partial(jax.jit, static_argnames=("Y", "dagger"))
@@ -105,6 +106,166 @@ def dslash_hop_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YX), psi_ext.dtype),
     )(psi_ext, psi_ext, psi_ext, U_ext, Ut_ext)
+
+
+@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover"))
+def wilson_m_pallas_ext(psi_ext: jnp.ndarray, U_loc: jnp.ndarray,
+                        Ut_shift: jnp.ndarray, A144, Y: int, kappa: float,
+                        dagger: bool = False,
+                        has_clover: bool = False) -> jnp.ndarray:
+    """Fused local M(dag) = A psi - kappa*hop from a t-halo-extended spinor
+    (the sharded twin of dslash_kernel.wilson_m_pallas; clover applied
+    in-kernel as chiral 6x6 VMEM blocks, A144 [T_loc, 144, Z, YX])."""
+    Tl = U_loc.shape[0]
+    _, _, Z, YX = psi_ext.shape
+    X = YX // Y
+    kernel = _make_m_kernel(Z, Y, X, kappa, dagger, has_clover)
+
+    spec_m = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i + 1, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Z, YX), lambda i: (i + 2, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Z, YX), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [spec_m, spec_c, spec_p, spec_u, spec_ut]
+    args = [psi_ext, psi_ext, psi_ext, U_loc, Ut_shift]
+    if has_clover:
+        in_specs.append(pl.BlockSpec((1, 144, Z, YX), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Z, YX), psi_ext.dtype),
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover"))
+def wilson_m_pallas_ext2(psi_ext: jnp.ndarray, U_ext: jnp.ndarray,
+                         Ut_ext: jnp.ndarray, A144, Y: int, kappa: float,
+                         dagger: bool = False,
+                         has_clover: bool = False) -> jnp.ndarray:
+    """Fused local M(dag) from a (t, z)-halo-extended spinor.  A144 carries
+    interior z rows only ([T_loc, 144, Z_loc, YX] — the clover term is
+    site-local, no halo needed)."""
+    Tl = U_ext.shape[0]
+    Zp = psi_ext.shape[2]
+    Zl = Zp - 2
+    YX = psi_ext.shape[3]
+    X = YX // Y
+    kernel = _make_m_kernel(Zl, Y, X, kappa, dagger, has_clover, z_ext=True)
+
+    spec_m = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i + 1, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, 24, Zp, YX), lambda i: (i + 2, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((1, 4, 18, Zp, YX), lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ut = pl.BlockSpec((1, 18, Zp, YX), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [spec_m, spec_c, spec_p, spec_u, spec_ut]
+    args = [psi_ext, psi_ext, psi_ext, U_ext, Ut_ext]
+    if has_clover:
+        in_specs.append(pl.BlockSpec((1, 144, Zl, YX),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Zl, YX), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YX), psi_ext.dtype),
+    )(*args)
+
+
+def _shard_map_kwargs():
+    if shard_map.__module__.startswith("jax.experimental"):
+        return {"check_rep": False}
+    return {"check_vma": False}
+
+
+def make_sharded_wilson_m(mesh: Mesh, Y: int, kappa: float,
+                          dagger: bool = False, has_clover: bool = False):
+    """Fused sharded M(dag)(psi_k, U_k, Ut_k, A144) over a 1D 't' mesh:
+    one ppermute halo exchange + ONE pallas pass (hop + clover diagonal +
+    kappa combine all in-kernel).  Closes the round-1 gap where the sharded
+    operator applied clover as separate unrolled XLA."""
+    nt = mesh.shape["t"]
+    fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    bwd = [(i, (i - 1) % nt) for i in range(nt)]
+
+    def body(psi_loc, U_loc, Ut_loc, A_loc):
+        halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=fwd)
+        halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=bwd)
+        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
+        ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=fwd)
+        ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
+        return wilson_m_pallas_ext(psi_ext, U_loc, ut_shift, A_loc, Y=Y,
+                                   kappa=kappa, dagger=dagger,
+                                   has_clover=has_clover)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("t"), P("t"), P("t"), P("t")),
+        out_specs=P("t"),
+        **_shard_map_kwargs(),
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_wilson_m_2d(mesh: Mesh, Y: int, kappa: float,
+                             dagger: bool = False, has_clover: bool = False):
+    """Fused sharded M(dag) over a 2D ('t', 'z') mesh (see
+    make_sharded_wilson_m)."""
+    nt = mesh.shape["t"]
+    nz = mesh.shape["z"]
+    t_fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    t_bwd = [(i, (i - 1) % nt) for i in range(nt)]
+    z_fwd = [(i, (i + 1) % nz) for i in range(nz)]
+    z_bwd = [(i, (i - 1) % nz) for i in range(nz)]
+
+    def zext(a, axis):
+        last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                    axis=axis)
+        first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        halo_prev = jax.lax.ppermute(last, "z", perm=z_fwd)
+        halo_next = jax.lax.ppermute(first, "z", perm=z_bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
+
+    def body(psi_loc, U_loc, Ut_loc, A_loc):
+        halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=t_fwd)
+        halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=t_bwd)
+        psi_t = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
+        psi_ext = zext(psi_t, axis=2)
+        U_ext = zext(U_loc, axis=3)
+        ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=t_fwd)
+        ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
+        ut_ext = jnp.pad(ut_shift, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        return wilson_m_pallas_ext2(psi_ext, U_ext, ut_ext, A_loc, Y=Y,
+                                    kappa=kappa, dagger=dagger,
+                                    has_clover=has_clover)
+
+    spec = P("t", None, "z", None)
+    a_spec = (P("t", None, "z", None) if has_clover
+              else P("t", None, None, None))
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, P("t", None, None, "z", None), spec, a_spec),
+        out_specs=spec,
+        **_shard_map_kwargs(),
+    )
+    return jax.jit(sharded)
 
 
 def make_sharded_dslash_2d(mesh: Mesh, Y: int, dagger: bool = False):
