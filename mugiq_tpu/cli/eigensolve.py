@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--autotune", action="store_true",
                    help="autotune the pallas operator variant for this "
                         "lattice size (persists in the tune cache)")
+    p.add_argument("--link-precision", choices=("f32", "bf16"),
+                   default="f32",
+                   help="production link/clover storage precision (bf16 = "
+                        "QUDA half-precision analog; arithmetic stays f32)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -59,7 +63,8 @@ def main(argv=None):
 
         t0 = time.time()
         res, evals, sigma, resids = compute_evecs_production(
-            np.asarray(U), gp, ip, ep, autotune=args.autotune)
+            np.asarray(U), gp, ip, ep, autotune=args.autotune,
+            precision=args.link_precision)
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")

@@ -45,6 +45,10 @@ def main(argv=None):
     g.add_argument("--autotune", action="store_true",
                    help="autotune the pallas operator variant for this "
                         "lattice size (persists in the tune cache)")
+    g.add_argument("--link-precision", choices=("f32", "bf16"),
+                   default="f32",
+                   help="production link/clover storage precision (bf16 = "
+                        "QUDA half-precision analog; arithmetic stays f32)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -98,6 +102,7 @@ def main(argv=None):
         res = compute_loop_production(
             U, gp, ip, ep, lp,
             U_loop_np=U_loop, autotune=args.autotune,
+            precision=args.link_precision,
             use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
         for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")

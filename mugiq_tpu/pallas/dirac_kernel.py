@@ -121,18 +121,31 @@ class WilsonDiracKernel:
     """Wilson(-clover) production operator on the kernel layout.
 
     A_blocks (optional): chiral-block clover matrix from
-    clover_np.clover_chiral_blocks_np; applied with the unrolled chiral
-    6x6 matvec (in-pallas clover is a future optimisation)."""
+    clover_np.clover_chiral_blocks_np; applied in the fused kernel as
+    in-VMEM chiral 6x6 blocks.
+
+    precision="bf16" stores the links (and clover blocks) in bfloat16 —
+    QUDA's half-precision field analog — halving the dominant HBM traffic
+    term (360 of 936 B/site).  Spinors stay f32 and ALL kernel arithmetic
+    is f32 (loads upcast in-VMEM), so only the link representation is
+    truncated (~3 significant digits on O(1) unitary entries)."""
     U_k: jnp.ndarray      # [T, 4, 18, Z, YX], phased links, kernel layout
     kappa: float
     Y: int                # Y extent (to un-fuse YX when needed)
     A_blocks: Optional[jnp.ndarray] = None
+    precision: str = "f32"
 
     def __post_init__(self):
         from .dslash_kernel import pack_clover_kernel144
 
+        if self.precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be f32|bf16: {self.precision}")
+        if self.precision == "bf16":
+            self.U_k = self.U_k.astype(jnp.bfloat16)
+            if self.A_blocks is not None:
+                self.A_blocks = self.A_blocks.astype(jnp.bfloat16)
         self.Ut_k = self.U_k[:, 3]
-        self._g5 = jnp.asarray(_g5_signs(), dtype=self.U_k.dtype
+        self._g5 = jnp.asarray(_g5_signs(), dtype=jnp.float32
                                ).reshape(1, 24, 1, 1)
         self._A144 = (jnp.zeros((1,), self.U_k.dtype) if self.A_blocks is None
                       else pack_clover_kernel144(self.A_blocks))
@@ -147,7 +160,7 @@ class WilsonDiracKernel:
 
         if psi is None:
             T, _, _, Z, YX = self.U_k.shape
-            psi = jnp.zeros((T, 24, Z, YX), self.U_k.dtype) + 0.5
+            psi = jnp.zeros((T, 24, Z, YX), self.dtype) + 0.5
         has_c = self.A_blocks is not None
         _, self._m_fn = tune_wilson_m(self.U_k, self.Ut_k, self._A144,
                                       self.Y, self.kappa, has_c, psi,
@@ -195,4 +208,5 @@ class WilsonDiracKernel:
 
     @property
     def dtype(self):
-        return self.U_k.dtype
+        """Spinor dtype: always f32 (links may be stored bf16)."""
+        return jnp.float32

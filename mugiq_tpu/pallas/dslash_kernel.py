@@ -220,22 +220,29 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
     tiles — the z-rolls then read the halo rows for the interior — and only
     the interior rows are written out.  The two wrapped edge rows of a roll
     land in the halo rows, which are never written.
+
+    Inputs may be bf16 (QUDA's half-precision analog): every load is upcast
+    to f32, all arithmetic is f32, the store casts to the output dtype.
     """
     Zc = Z + 2 if z_ext else Z
     compute = make_slice_compute(Zc, Y, X, dagger=dagger)
     sl = slice(1, Z + 1) if z_ext else slice(None)
+    f32 = jnp.float32
 
     def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
         def pref(ref):
-            return lambda s, c, r: ref[0, r * 12 + s * 3 + c]
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c].astype(f32)
+
+        od = out_ref.dtype
 
         def write(s, c, ar, ai):
-            out_ref[0, s * 3 + c] = ar[sl]
-            out_ref[0, 12 + s * 3 + c] = ai[sl]
+            out_ref[0, s * 3 + c] = ar[sl].astype(od)
+            out_ref[0, 12 + s * 3 + c] = ai[sl].astype(od)
 
         compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
-                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b],
-                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b],
+                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b
+                                           ].astype(f32),
+                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b].astype(f32),
                 write)
 
     return kernel
@@ -250,10 +257,14 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
     z_ext=True: spinor/gauge input blocks carry one z-halo row each side
     (sharded-z operation, see shard_dslash); the clover block carries only
     the Z interior rows (it is site-local), and only interior rows are
-    written."""
+    written.
+
+    Inputs may be bf16: loads upcast to f32, f32 arithmetic, store casts to
+    the output dtype."""
     Zc = Z + 2 if z_ext else Z
     compute = make_slice_compute(Zc, Y, X, dagger=dagger)
     sl = slice(1, Z + 1) if z_ext else slice(None)
+    f32 = jnp.float32
 
     def kernel(*refs):
         if clover:
@@ -264,7 +275,7 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
             out_ref = refs[5]
 
         def pref(ref):
-            return lambda s, c, r: ref[0, r * 12 + s * 3 + c]
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c].astype(f32)
 
         hop = {}
 
@@ -272,11 +283,13 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
             hop[(s, c)] = (ar, ai)
 
         compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
-                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b],
-                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b],
+                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b
+                                           ].astype(f32),
+                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b].astype(f32),
                 write)
 
         # diagonal + combine on interior rows only
+        od = out_ref.dtype
         pc = lambda s, c, r: pref(pc_ref)(s, c, r)[sl]
         for s in range(4):
             for c in range(3):
@@ -291,16 +304,18 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
                     dr = di = None
                     for j in range(6):
                         sj, cj = 2 * chi + j // 3, j % 3
-                        ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 0]
-                        ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 1]
+                        ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 0
+                                    ].astype(f32)
+                        ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 1
+                                    ].astype(f32)
                         vr = pc(sj, cj, 0)
                         vi = pc(sj, cj, 1)
                         tr = ar_ * vr - ai_ * vi
                         ti = ar_ * vi + ai_ * vr
                         dr = tr if dr is None else dr + tr
                         di = ti if di is None else di + ti
-                out_ref[0, s * 3 + c] = dr - kappa * hr
-                out_ref[0, 12 + s * 3 + c] = di - kappa * hi
+                out_ref[0, s * 3 + c] = (dr - kappa * hr).astype(od)
+                out_ref[0, 12 + s * 3 + c] = (di - kappa * hi).astype(od)
 
     return kernel
 
@@ -312,13 +327,17 @@ def pack_clover_kernel144(A_blocks: jnp.ndarray) -> jnp.ndarray:
     return A_blocks.reshape(T, 144, Z, YX)
 
 
-@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover"))
+@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover",
+                                   "out_dtype"))
 def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
                     A144, Y: int, kappa: float, dagger: bool = False,
-                    has_clover: bool = False) -> jnp.ndarray:
+                    has_clover: bool = False,
+                    out_dtype=None) -> jnp.ndarray:
     """Fused M(dag) application: A psi - kappa * hop (one kernel pass).
 
-    A144: [T, 144, Z, YX] packed clover blocks (ignored unless has_clover)."""
+    A144: [T, 144, Z, YX] packed clover blocks (ignored unless has_clover).
+    Inputs may be bf16 (f32 in-kernel arithmetic); out_dtype defaults to
+    psi_k's dtype."""
     T, _, Z, YX = psi_k.shape
     X = YX // Y
     kernel = _make_m_kernel(Z, Y, X, kappa, dagger, has_clover)
@@ -345,18 +364,21 @@ def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape,
+                                       out_dtype or psi_k.dtype),
     )(*args)
 
 
-@partial(jax.jit, static_argnames=("Y", "dagger"))
+@partial(jax.jit, static_argnames=("Y", "dagger", "out_dtype"))
 def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
-                      Y: int, dagger: bool = False) -> jnp.ndarray:
+                      Y: int, dagger: bool = False,
+                      out_dtype=None) -> jnp.ndarray:
     """Hopping term on kernel-layout arrays.
 
     psi_k [T, 24, Z, YX]; U_k [T, 4, 18, Z, YX]; Ut_k [T, 18, Z, YX] is the
     t-links view U_k[:, 3] (passed separately so the (i-1)%T block pipeline
-    only fetches the t-direction links).
+    only fetches the t-direction links).  Inputs may be bf16 (f32 in-kernel
+    arithmetic); out_dtype defaults to psi_k's dtype.
     """
     T, _, Z, YX = psi_k.shape
     X = YX // Y
@@ -383,7 +405,8 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
         in_specs=[spec_m, spec_c, spec_p, spec_u, spec_ut],
         out_specs=pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape,
+                                       out_dtype or psi_k.dtype),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),

@@ -119,7 +119,8 @@ class ShardedWilsonKernel:
 
     @property
     def dtype(self):
-        return self.U_k.dtype
+        """Spinor dtype: always f32 (links may be stored bf16)."""
+        return jnp.float32
 
     def place(self, psi_k):
         """Device-put a kernel-layout field with this operator's sharding."""

@@ -52,7 +52,8 @@ def _planar_gauge_np(U_np: np.ndarray, antiperiodic_t: bool,
 
 
 def build_kernel_dirac(U_np: np.ndarray, gauge: GaugeParam,
-                       inv: InvertParam) -> WilsonDiracKernel:
+                       inv: InvertParam,
+                       precision: str = "f32") -> WilsonDiracKernel:
     geom = LatticeGeometry(gauge.dims)
     U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t,
                                         gauge.anisotropy))
@@ -66,7 +67,7 @@ def build_kernel_dirac(U_np: np.ndarray, gauge: GaugeParam,
         A = clover_field_np(u, inv.kappa, inv.csw)
         A_blocks = jnp.asarray(clover_chiral_blocks_np(A))
     return WilsonDiracKernel(U_k=U_k, kappa=inv.kappa, Y=geom.dims[1],
-                             A_blocks=A_blocks)
+                             A_blocks=A_blocks, precision=precision)
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +178,8 @@ def _rc_evecs_to_planar(evecs_rc):
 def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                              inv: InvertParam, eig: EigParam,
                              mesh=None, seed: int = 1234,
-                             autotune: bool = False):
+                             autotune: bool = False,
+                             precision: str = "f32"):
     """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
     The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
@@ -186,10 +188,12 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     analog (Rayleigh + mass-normalization rescale + residuals + sigma).
 
     mesh (optional): shard operator + Krylov basis over a ('t'[, 'z'])
-    device mesh.  Returns (LanczosPlanarResult, evals, sigma, resids).
+    device mesh.  precision="bf16": bf16 link/clover storage, f32 spinors
+    and arithmetic (QUDA half-precision analog).  Returns
+    (LanczosPlanarResult, evals, sigma, resids).
     """
     geom = LatticeGeometry(gauge.dims)
-    op = build_kernel_dirac(U_np, gauge, inv)
+    op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
     if autotune and mesh is None:
         with phase_timer("autotune"):
             op.tune()
@@ -264,6 +268,7 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
                             keep_pos: bool = False,
                             use_mg: bool = False, mg=None,
                             mesh=None, autotune: bool = False,
+                            precision: str = "f32",
                             seed: int = 1234) -> ProductionResult:
     """Deflated disconnected loops, all compute on TPU f32.
 
@@ -282,7 +287,8 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     res, evals, sigma, rs = compute_evecs_production(
-        U_np, gauge, inv, eig, mesh=mesh, seed=seed, autotune=autotune)
+        U_np, gauge, inv, eig, mesh=mesh, seed=seed, autotune=autotune,
+        precision=precision)
 
     # kernel layout -> planar for the measurement
     Yext = geom.dims[1]

@@ -110,3 +110,49 @@ def test_schur_kernel_matches_complex():
         got = spinor_from_planar(dk.from_kernel_spinor(
             getattr(pc_k, name)(psi_k), Y=4))
         np.testing.assert_allclose(got, ref, atol=2e-4, err_msg=name)
+
+
+def test_kernel_operator_bf16_links(dirac):
+    """precision="bf16" (bf16 link storage, f32 arithmetic): matches the
+    f32 operator to bf16 representation accuracy (QUDA half-precision
+    analog)."""
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=4)
+    op32 = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=Y)
+    op16 = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=Y,
+                             precision="bf16")
+    assert op16.U_k.dtype == jnp.bfloat16
+    for name in ("M", "Mdag", "MdagM"):
+        ref = np.asarray(getattr(op32, name)(psi_k))
+        got = np.asarray(getattr(op16, name)(psi_k))
+        assert got.dtype == np.float32, name
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 3e-2, (name, err)
+
+
+def test_kernel_operator_bf16_clover(dirac):
+    """bf16 mode with the fused in-kernel clover diagonal."""
+    from mugiq_tpu.clover_np import clover_field_np, clover_chiral_blocks_np
+
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=6)
+    A = clover_field_np(np.asarray(dirac.U), dirac.kappa, 1.2)
+    A_blocks = jnp.asarray(clover_chiral_blocks_np(A))
+    op32 = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=Y,
+                             A_blocks=A_blocks)
+    op16 = WilsonDiracKernel(U_k=U_k, kappa=dirac.kappa, Y=Y,
+                             A_blocks=A_blocks, precision="bf16")
+    ref = np.asarray(op32.M(psi_k))
+    got = np.asarray(op16.M(psi_k))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 3e-2, err
+
+
+def test_hop_pallas_out_dtype(dirac):
+    """out_dtype=bf16 writes a bf16 result (sloppy-intermediate hook)."""
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=7)
+    out = dk.dslash_hop_pallas(psi_k, U_k, U_k[:, 3], Y=Y,
+                               out_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    ref = dk.dslash_hop_pallas(psi_k, U_k, U_k[:, 3], Y=Y)
+    err = (np.abs(out.astype(np.float32) - np.asarray(ref)).max()
+           / np.abs(np.asarray(ref)).max())
+    assert err < 3e-2, err
