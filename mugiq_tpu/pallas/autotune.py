@@ -66,31 +66,36 @@ def _key(op_name, shape, dtype):
     return f"{backend}|{op_name}|{'x'.join(map(str, shape))}|{dtype}"
 
 
-def _time_chain(f, psi, n1=4, n2=24, reps=3):
+def _time_chain(f, psi, *args, n1=4, n2=24, reps=3):
+    """Chain-differenced timing of psi -> f(psi, *args).
+
+    ``args`` (field operands like the gauge) are passed as traced jit
+    arguments — a closure capture would embed them as HLO CONSTANTS, which
+    at large volumes (e.g. 604 MB of links at 32^3x64) overflows the
+    tunnelled backend's compile-request size limit."""
     s = jax.jit(lambda a: jnp.sum(a * a))
 
-    def body(i, x):
-        return f(x) * 0.12
-
     @partial(jax.jit, static_argnames=("n",))
-    def chain(p, n):
-        return jax.lax.fori_loop(0, n, body, p)
+    def chain(p, n, *a):
+        return jax.lax.fori_loop(0, n, lambda i, x: f(x, *a) * 0.12, p)
 
-    float(s(chain(psi, n1)))
-    float(s(chain(psi, n2)))
+    float(s(chain(psi, n1, *args)))
+    float(s(chain(psi, n2, *args)))
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter(); float(s(chain(psi, n1)))
+        t0 = time.perf_counter(); float(s(chain(psi, n1, *args)))
         t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(s(chain(psi, n2)))
+        t0 = time.perf_counter(); float(s(chain(psi, n2, *args)))
         t2 = time.perf_counter() - t0
         if t2 > t1:
             best = min(best, (t2 - t1) / (n2 - n1))
     return best
 
 
-def tune_variants(op_name, variants, psi, force=False):
-    """Pick the fastest of ``variants`` ({name: psi->psi}) for this shape.
+def tune_variants(op_name, variants, psi, *args, force=False):
+    """Pick the fastest of ``variants`` ({name: (psi, *args)->psi}) for
+    this shape.  ``args`` are forwarded to every variant as traced jit
+    operands (NOT closure constants — see _time_chain).
 
     Returns the winning name.  Results persist in the tune cache; pass
     force=True to re-measure.  On the CPU backend (interpret-mode pallas)
@@ -106,7 +111,7 @@ def tune_variants(op_name, variants, psi, force=False):
     results = {}
     for name, f in variants.items():
         try:
-            results[name] = _time_chain(f, psi)
+            results[name] = _time_chain(f, psi, *args)
         except Exception as e:    # VMEM overflow etc.: variant infeasible
             log(f"tune {op_name}/{name}: failed ({type(e).__name__})")
     if not results:
@@ -121,19 +126,24 @@ def tune_variants(op_name, variants, psi, force=False):
 
 def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
                   dagger=False, force=False):
-    """Autotune the fused M(dag) kernel; returns (variant_name, callable)."""
+    """Autotune the fused M(dag) kernel; returns (variant_name, callable).
+
+    The timed variants take the field operands as jit arguments; the
+    returned callable closes over them for convenience (single dispatch of
+    an already-compiled executable embeds no constants)."""
     from .dslash_kernel import wilson_m_pallas
     from .dslash_win_kernel import wilson_m_pallas_win
 
     T = psi.shape[0]
-    variants = {"base": lambda p: wilson_m_pallas(
-        p, U_k, Ut_k, A144, Y=Y, kappa=kappa, dagger=dagger,
+    variants = {"base": lambda p, U, Ut, A: wilson_m_pallas(
+        p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
         has_clover=has_clover)}
     for bt in (2, 4):
         if T % bt == 0:
-            variants[f"win{bt}"] = lambda p, b=bt: wilson_m_pallas_win(
-                p, U_k, Ut_k, A144, Y=Y, kappa=kappa, bt=b, dagger=dagger,
-                has_clover=has_clover)
+            variants[f"win{bt}"] = lambda p, U, Ut, A, b=bt: (
+                wilson_m_pallas_win(p, U, Ut, A, Y=Y, kappa=kappa, bt=b,
+                                    dagger=dagger, has_clover=has_clover))
     name = tune_variants("wilson_m_dag" if dagger else "wilson_m",
-                         variants, psi, force=force)
-    return name, variants[name]
+                         variants, psi, U_k, Ut_k, A144, force=force)
+    win = variants[name]
+    return name, lambda p: win(p, U_k, Ut_k, A144)
