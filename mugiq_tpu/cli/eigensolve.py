@@ -69,8 +69,9 @@ def main(argv=None):
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")
         for i in range(len(evals)):
-            log(f"Mugiq: Eval[{i:04d}] = {evals[i]:+.16e} , "
-                f"Residual = {resids[i]:+.16e}")
+            lam = complex(evals[i])
+            log(f"Mugiq: Eval[{i:04d}] = {lam.real:+.16e} "
+                f"{lam.imag:+.16e} , Residual = {resids[i]:+.16e}")
         for i in range(len(sigma)):
             log(f"Mugiq: Sigma[{i:04d}] = {sigma[i]:+.16e}")
         log(f"Time for solution = {time.time() - t0:.3f} s")

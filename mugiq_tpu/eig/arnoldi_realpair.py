@@ -45,11 +45,15 @@ def arnoldi_krylov_schur_realpair(
     max_restarts: int = 200,
     which: str = "SM",
     check_interval: int = 1,
+    matvec_args: tuple = (),
     sharding=None,
     compile_cache: Optional[dict] = None,
 ) -> ArnoldiRealpairResult:
     """sharding / compile_cache: as in lanczos_hermitian_realpair — shard
-    the basis over a device mesh / reuse jitted executables across calls."""
+    the basis over a device mesh / reuse jitted executables across calls.
+    matvec_args: operator operands threaded through the jitted cycle as
+    traced arguments (matvec(v, *matvec_args); see
+    planar/lanczos._make_cycle)."""
     shape = v0.shape
     ax = re_im_axis
     rdtype = v0.dtype
@@ -58,7 +62,7 @@ def arnoldi_krylov_schur_realpair(
 
     _, _, rotate = _make_ops(ax)
     cache = compile_cache if compile_cache is not None else {}
-    ckey = ("arnoldi", m, k, shape, str(rdtype), ax)
+    ckey = ("arnoldi", m, k, shape, str(rdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
         cache.clear()
         cache["key"] = ckey
@@ -82,7 +86,7 @@ def arnoldi_krylov_schur_realpair(
     converged = False
     theta = y = beta = sel = None
     for restart in range(max_restarts):
-        V, H, beta_m = cycle(V, H, j0)
+        V, H, beta_m = cycle(V, H, j0, *matvec_args)
         Hb = np.asarray(pack(H, beta_m))      # one host transfer
         beta = float(Hb[-1])
         H2 = Hb[:-1].reshape(m, m, 2)

@@ -36,21 +36,29 @@ class LanczosResult:
     converged: bool
 
 
-def estimate_spectral_edge(matvec: Callable, v0: jnp.ndarray, iters: int = 25) -> float:
+def estimate_spectral_edge(matvec: Callable, v0: jnp.ndarray,
+                           iters: int = 25, matvec_args: tuple = ()) -> float:
     """Upper spectral edge of a Hermitian PSD operator via power iteration.
 
     Used to auto-set a_max for Chebyshev acceleration when the caller leaves
     it 0 (the reference forwards a_max from CLI flags; QUDA can also
     auto-estimate).  Returns a 10%-padded estimate.
-    """
-    def body(_, v):
-        w = matvec(v)
-        return w / jnp.linalg.norm(w.reshape(-1))
 
-    v = v0 / jnp.linalg.norm(v0.reshape(-1))
-    v = jax.lax.fori_loop(0, iters, body, v)
-    lam = jnp.real(jnp.vdot(v, matvec(v)))
-    return float(lam) * 1.10
+    matvec_args: operator operands passed as traced arguments (the
+    fori_loop traces matvec; closure-captured fields would embed as HLO
+    constants — see planar/lanczos._make_cycle).
+    """
+    @jax.jit
+    def run(v0, *args):
+        def body(_, v):
+            w = matvec(v, *args)
+            return w / jnp.linalg.norm(w.reshape(-1))
+
+        v = v0 / jnp.linalg.norm(v0.reshape(-1))
+        v = jax.lax.fori_loop(0, iters, body, v)
+        return jnp.real(jnp.vdot(v, matvec(v, *args)))
+
+    return float(run(v0, *matvec_args)) * 1.10
 
 
 def chebyshev_op(matvec: Callable, poly_deg: int, a_min: float, a_max: float) -> Callable:
@@ -64,17 +72,19 @@ def chebyshev_op(matvec: Callable, poly_deg: int, a_min: float, a_max: float) ->
     d = 0.5 * (a_max - a_min)
     c = 0.5 * (a_max + a_min)
 
-    def scaled(v):
-        return (matvec(v) - c * v) / d
+    def scaled(v, *args):
+        return (matvec(v, *args) - c * v) / d
 
-    def apply(v):
+    def apply(v, *args):
+        """Extra positional args are forwarded to matvec (operator operands
+        threaded as traced jit arguments — see planar/lanczos._make_cycle)."""
         if poly_deg == 0:
-            return matvec(v)
+            return matvec(v, *args)
         tkm1 = v
-        tk = scaled(v)
+        tk = scaled(v, *args)
         def body(_, carry):
             tkm1, tk = carry
-            tkp1 = 2.0 * scaled(tk) - tkm1
+            tkp1 = 2.0 * scaled(tk, *args) - tkm1
             return tk, tkp1
         tkm1, tk = jax.lax.fori_loop(1, poly_deg, body, (tkm1, tk))
         return tk

@@ -150,6 +150,7 @@ class WilsonDiracKernel:
         self._A144 = (jnp.zeros((1,), self.U_k.dtype) if self.A_blocks is None
                       else pack_clover_kernel144(self.A_blocks))
         self._m_fn = self._mdag_fn = None
+        self._m_variant = self._mdag_variant = "base"
 
     def tune(self, psi=None, force=False):
         """Autotune the fused M/Mdag kernel variant for this lattice size on
@@ -162,12 +163,12 @@ class WilsonDiracKernel:
             T, _, _, Z, YX = self.U_k.shape
             psi = jnp.zeros((T, 24, Z, YX), self.dtype) + 0.5
         has_c = self.A_blocks is not None
-        _, self._m_fn = tune_wilson_m(self.U_k, self.Ut_k, self._A144,
-                                      self.Y, self.kappa, has_c, psi,
-                                      dagger=False, force=force)
-        _, self._mdag_fn = tune_wilson_m(self.U_k, self.Ut_k, self._A144,
-                                         self.Y, self.kappa, has_c, psi,
-                                         dagger=True, force=force)
+        self._m_variant, self._m_fn = tune_wilson_m(
+            self.U_k, self.Ut_k, self._A144, self.Y, self.kappa, has_c,
+            psi, dagger=False, force=force)
+        self._mdag_variant, self._mdag_fn = tune_wilson_m(
+            self.U_k, self.Ut_k, self._A144, self.Y, self.kappa, has_c,
+            psi, dagger=True, force=force)
         return self
 
     def M(self, psi):
@@ -199,6 +200,39 @@ class WilsonDiracKernel:
     def operator(self, which: EigOperator) -> Callable:
         return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
                 EigOperator.MdagM: self.MdagM, EigOperator.MMdag: self.MMdag}[which]
+
+    def operator_with_args(self, which: EigOperator):
+        """(fn, args) with fn(psi, *args): the operator with its field
+        operands as EXPLICIT arguments, for threading through jitted
+        eigensolver cycles (matvec_args=...).  A closure operator traced
+        inside an outer jit embeds the links as HLO constants — which
+        bloats every compile and overflows the tunnelled backend's
+        compile-request limit at large volumes (604 MB at 32^3x64)."""
+        from .dslash_kernel import wilson_m_pallas
+        from .dslash_win_kernel import wilson_m_pallas_win
+
+        has_c = self.A_blocks is not None
+
+        def m(psi, U, Ut, A, dagger):
+            var = self._mdag_variant if dagger else self._m_variant
+            if var.startswith("win"):
+                return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
+                                           kappa=self.kappa,
+                                           bt=int(var[3:]), dagger=dagger,
+                                           has_clover=has_c)
+            return wilson_m_pallas(psi, U, Ut, A, Y=self.Y,
+                                   kappa=self.kappa, dagger=dagger,
+                                   has_clover=has_c)
+
+        fns = {
+            EigOperator.M: lambda p, U, Ut, A: m(p, U, Ut, A, False),
+            EigOperator.Mdag: lambda p, U, Ut, A: m(p, U, Ut, A, True),
+            EigOperator.MdagM: lambda p, U, Ut, A: m(
+                m(p, U, Ut, A, False), U, Ut, A, True),
+            EigOperator.MMdag: lambda p, U, Ut, A: m(
+                m(p, U, Ut, A, True), U, Ut, A, False),
+        }
+        return fns[which], (self.U_k, self.Ut_k, self._A144)
 
     @property
     def field_shape(self):

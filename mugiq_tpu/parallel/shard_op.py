@@ -113,6 +113,22 @@ class ShardedWilsonKernel:
                 EigOperator.MdagM: self.MdagM,
                 EigOperator.MMdag: self.MMdag}[which]
 
+    def operator_with_args(self, which: EigOperator):
+        """(fn, args) with fn(psi, *args) — the sharded operator with its
+        field operands as explicit arguments, for threading through jitted
+        eigensolver cycles without embedding the (sharded) links as HLO
+        constants (see pallas.dirac_kernel.operator_with_args)."""
+        m, mdag = self._m, self._mdag
+        fns = {
+            EigOperator.M: lambda p, U, Ut, A: m(p, U, Ut, A),
+            EigOperator.Mdag: lambda p, U, Ut, A: mdag(p, U, Ut, A),
+            EigOperator.MdagM: lambda p, U, Ut, A: mdag(
+                m(p, U, Ut, A), U, Ut, A),
+            EigOperator.MMdag: lambda p, U, Ut, A: m(
+                mdag(p, U, Ut, A), U, Ut, A),
+        }
+        return fns[which], (self.U_k, self.Ut_k, self._A144)
+
     @property
     def field_shape(self):
         return (self.U_k.shape[0], 24, self.U_k.shape[3], self.U_k.shape[4])

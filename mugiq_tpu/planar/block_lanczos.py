@@ -72,13 +72,13 @@ def _make_block_cycle(matvec_batch, m, b, rdtype, ax,
     leading-axis prefix slices into the dots — see planar/lanczos.py)."""
     nb = m // b
 
-    def make_step(hi):
+    def make_step(hi, op_args):
         """Block step valid while (j+1)*b <= hi (prefix V[:hi] static)."""
         def step(j, carry):
             V, Tmat, _ = carry
             jb = j * b
             Wblk = jax.lax.dynamic_slice_in_dim(V, jb, b, axis=0)
-            W = matvec_batch(Wblk)
+            W = matvec_batch(Wblk, *op_args)
             Vp = V[:hi]
             idxh = jnp.arange(hi)
             maskh = (idxh < jb + b)[:, None, None]
@@ -125,11 +125,11 @@ def _make_block_cycle(matvec_batch, m, b, rdtype, ax,
               for bb in range((nb + s - 1) // s)]
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def cycle(V, Tmat, j0b):
+    def cycle(V, Tmat, j0b, *op_args):
         carry = (V, Tmat, jnp.zeros((b, b, 2), rdtype))
         for lo, hi in bounds:
             carry = jax.lax.fori_loop(jnp.maximum(j0b, lo), hi,
-                                      make_step(hi * b), carry)
+                                      make_step(hi * b, op_args), carry)
         return carry
 
     return cycle
@@ -168,6 +168,7 @@ def block_lanczos_hermitian_realpair(
     which: str = "SR",
     check_interval: int = 1,
     matvec_batch: Optional[Callable] = None,
+    matvec_args: tuple = (),
     v0_is_block: bool = False,
     seed: int = 7,
     sharding=None,
@@ -182,8 +183,13 @@ def block_lanczos_hermitian_realpair(
     of block_size.
 
     matvec_batch (optional): batched operator [b, *field] -> [b, *field];
-    defaults to jax.vmap(matvec) (safe for the BlockSpec pallas kernels,
-    which use no program_id; pass an explicit batch for kernels that do).
+    defaults to jax.vmap(matvec, over the block axis only) (safe for the
+    BlockSpec pallas kernels, which use no program_id; pass an explicit
+    batch for kernels that do).
+
+    matvec_args: operator operands threaded through the jitted cycle as
+    traced arguments (see planar/lanczos._make_cycle) — matvec is called
+    as matvec(v, *matvec_args).
     """
     b = block_size
     ax = re_im_axis
@@ -191,7 +197,8 @@ def block_lanczos_hermitian_realpair(
     if m < 2 * b:
         raise ValueError(f"n_kr={n_kr} too small for block_size={b}")
     if matvec_batch is None:
-        matvec_batch = jax.vmap(matvec)
+        matvec_batch = jax.vmap(
+            matvec, in_axes=(0,) + (None,) * len(matvec_args))
 
     if v0_is_block:
         if v0.shape[0] != b:
@@ -216,7 +223,7 @@ def block_lanczos_hermitian_realpair(
 
     _, _, rotate = _make_ops(ax)
     cache = compile_cache if compile_cache is not None else {}
-    ckey = (m, b, k, shape, str(rdtype), ax)
+    ckey = (m, b, k, shape, str(rdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
         cache.clear()
         cache["key"] = ckey
@@ -241,7 +248,7 @@ def block_lanczos_hermitian_realpair(
     theta = q = sel = None
     S_host = np.zeros((b, n_ev))
     for restart in range(max_restarts):
-        V, Tmat, Bres = cycle(V, Tmat, j0b)
+        V, Tmat, Bres = cycle(V, Tmat, j0b, *matvec_args)
         TB = np.asarray(cache["pack"](Tmat, Bres))
         T2 = TB[:m * m * 2].reshape(m, m, 2)
         B2 = TB[m * m * 2:].reshape(b, b, 2)

@@ -133,14 +133,22 @@ def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
     XLA folds a leading-axis prefix slice into the dot without a copy
     (measured on-chip: half-prefix dots run at ~0.5x full cost), so this
     cuts average V HBM traffic ~2x on a from-scratch cycle.  block=None
-    disables (single fori over V[:m])."""
+    disables (single fori over V[:m]).
+
+    The returned cycle is called as cycle(V, Tmat, j0, *op_args) and the
+    operator as matvec(v, *op_args): operator operands (links, clover)
+    MUST flow through as traced arguments — a matvec that closes over
+    device arrays embeds them as HLO constants, which bloats every compile
+    and overflows the tunnelled backend's compile-request size limit at
+    large volumes (604 MB of links at 32^3x64)."""
     dots, axpy_sub, _ = _make_ops(ax)
 
-    def make_step(hi):
+    def make_step(hi, op_args):
         """Step with prefix V[:hi] (valid for j <= hi-1)."""
         def step(j, carry):
             V, Tmat, _ = carry
-            w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False))
+            w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False),
+                       *op_args)
             Vp = V[:hi]
             idxh = jnp.arange(hi)
             maskh = (idxh <= j)
@@ -176,11 +184,11 @@ def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
     # donate V/Tmat: the caller rebinds them, and the basis is the dominant
     # HBM object (nKr x field) — donation avoids a full copy per cycle
     @partial(jax.jit, donate_argnums=(0, 1))
-    def cycle(V, Tmat, j0):
+    def cycle(V, Tmat, j0, *op_args):
         carry = (V, Tmat, jnp.zeros((), rdtype))
         for lo, hi in bounds:
             carry = jax.lax.fori_loop(jnp.maximum(j0, lo), hi,
-                                      make_step(hi), carry)
+                                      make_step(hi, op_args), carry)
         return carry
 
     return cycle
@@ -197,10 +205,17 @@ def lanczos_hermitian_realpair(
     which: str = "SR",
     check_interval: int = 1,
     n_keep: Optional[int] = None,
+    matvec_args: tuple = (),
     sharding=None,
     compile_cache: Optional[dict] = None,
 ) -> LanczosPlanarResult:
     """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields.
+
+    matvec_args: operator operands (links, clover blocks) passed through
+    the jitted cycle as TRACED arguments — matvec is called as
+    matvec(v, *matvec_args).  Pass the fields here rather than closing
+    over them: closures embed device arrays as HLO constants (see
+    _make_cycle).  A plain closure matvec with matvec_args=() still works.
 
     sharding (optional): a NamedSharding for the FULL basis [m+1, *field]
     (e.g. parallel.shard_op.krylov_sharding).  The cycle's einsums then
@@ -225,7 +240,7 @@ def lanczos_hermitian_realpair(
 
     _, _, rotate = _make_ops(ax)
     cache = compile_cache if compile_cache is not None else {}
-    ckey = (m, k, shape, str(rdtype), ax)
+    ckey = (m, k, shape, str(rdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
         cache.clear()
         cache["key"] = ckey
@@ -250,7 +265,7 @@ def lanczos_hermitian_realpair(
     converged = False
     theta = q = beta = sel = None
     for restart in range(max_restarts):
-        V, Tmat, beta_m = cycle(V, Tmat, j0)
+        V, Tmat, beta_m = cycle(V, Tmat, j0, *matvec_args)
         Tb = np.asarray(pack(Tmat, beta_m))
         beta = float(Tb[-1])
         T2 = Tb[:-1].reshape(m, m, 2)

@@ -211,30 +211,58 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     if mesh is not None:
         v0 = op.place(v0)
 
-    base_op = op.operator(eig.operator if eig.operator in
-                          (EigOperator.MdagM, EigOperator.MMdag)
-                          else EigOperator.MdagM)
+    # non-normal operators (M / Mdag): real-pair Krylov-Schur Arnoldi (the
+    # reference's determineEigOperator menu, eigsolve_mugiq.cpp:184-194;
+    # QUDA serves these with IR-Arnoldi).  makeChecks analog: poly accel
+    # requires a normal operator (eigsolve_mugiq.cpp:210-221).
+    if eig.operator in (EigOperator.M, EigOperator.Mdag):
+        if eig.use_poly_acc:
+            raise ValueError("Chebyshev acceleration requires a normal "
+                             "operator (MdagM/MMdag)")
+        from .eig.arnoldi_realpair import arnoldi_krylov_schur_realpair
+        nn_fn, nn_args = op.operator_with_args(eig.operator)
+        with phase_timer("eigensolve"):
+            res = arnoldi_krylov_schur_realpair(
+                nn_fn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
+                tol=eig.tol, max_restarts=eig.max_restarts,
+                which=eig.spectrum.value, check_interval=eig.check_interval,
+                matvec_args=nn_args, **lanczos_kw)
+        log(f"production eigensolve (Arnoldi, {eig.operator.name}): "
+            f"converged={res.converged} restarts={res.n_restarts}")
+        scale = (0.25 / inv.kappa ** 2
+                 if inv.mass_normalization == MassNormalization.MASS
+                 else 1.0)
+        evals = np.asarray(res.evals) * scale
+        sigma = np.abs(evals)       # |lambda| (sigma=sqrt only for normal)
+        return res, evals, sigma, list(np.asarray(res.resids))
+
+    which_op = eig.operator
+    # operator operands threaded as jit ARGUMENTS (not closure constants):
+    # keeps the links out of the cycle HLO — see operator_with_args
+    base_fn, op_args = op.operator_with_args(which_op)
+    base_op = op.operator(which_op)
 
     # optional Chebyshev acceleration (works unchanged on real-pair fields:
     # only matvec + real-scalar algebra)
-    it_op = base_op
+    it_fn = base_fn
     it_which = eig.spectrum.value
     if eig.use_poly_acc:
         from .eig.lanczos import chebyshev_op, estimate_spectral_edge
         a_max = eig.a_max
         if a_max <= 0:
-            a_max = estimate_spectral_edge(jax.jit(base_op), v0)
-        it_op = chebyshev_op(base_op, eig.poly_deg, eig.a_min, a_max)
+            a_max = estimate_spectral_edge(base_fn, v0,
+                                           matvec_args=op_args)
+        it_fn = chebyshev_op(base_fn, eig.poly_deg, eig.a_min, a_max)
         it_which = "LR"
         log(f"production eigensolve: Chebyshev deg={eig.poly_deg} "
             f"window=[{eig.a_min}, {a_max:.4f}]")
 
     with phase_timer("eigensolve"):
         res = lanczos_hermitian_realpair(
-            it_op, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
+            it_fn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
             tol=eig.tol, max_restarts=eig.max_restarts,
             which=it_which, check_interval=eig.check_interval,
-            **lanczos_kw)
+            matvec_args=op_args, **lanczos_kw)
     log(f"production eigensolve: converged={res.converged} "
         f"restarts={res.n_restarts}")
 
@@ -243,8 +271,8 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
              if inv.mass_normalization == MassNormalization.MASS else 1.0)
 
     @jax.jit
-    def rayleigh(v):
-        w = base_op(v) * scale
+    def rayleigh(v, *args):
+        w = base_fn(v, *args) * scale
         num = jnp.sum(v * w)
         den = jnp.sqrt(jnp.sum(v * v))
         lam = num / den
@@ -253,7 +281,7 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
 
     lams, rs = [], []
     for i in range(eig.n_ev):
-        lam, r = rayleigh(res.evecs[i])
+        lam, r = rayleigh(res.evecs[i], *op_args)
         lams.append(float(lam))
         rs.append(float(r))
     evals = np.asarray(lams)

@@ -129,3 +129,47 @@ def test_production_pipeline_vs_validation(tmp_path):
         map_gamma_g5_planar(data_pos), ph))
     got = np.transpose(lgtp[:, 0] + 1j * lgtp[:, 1], (3, 0, 1, 2))
     np.testing.assert_allclose(got, ref_mom, rtol=2e-4, atol=1e-3)
+
+
+def test_production_nonnormal_arnoldi_dispatch():
+    """EigOperator.M in the production eigensolve dispatches to the
+    real-pair Krylov-Schur Arnoldi; eigenvalues match the validation
+    operator's dense spectrum."""
+    from mugiq_tpu.production import compute_evecs_production
+    from mugiq_tpu.dirac import make_dirac, dense_matrix
+    from mugiq_tpu.params import Spectrum
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=9)
+    ep = EigParam(n_ev=4, n_kr=20, operator=EigOperator.M,
+                  spectrum=Spectrum.SM, tol=1e-4, max_restarts=200)
+    res, evals, sigma, resids = compute_evecs_production(
+        np.asarray(U), gp, ip, ep)
+    assert res.converged
+    dirac = make_dirac(U, gp, ip)
+    A = np.asarray(dense_matrix(dirac.M, dirac.field_shape, jnp.complex128))
+    ref = np.linalg.eigvals(A)
+    ref = ref[np.argsort(np.abs(ref))][:4]
+    # default KAPPA normalization: no rescale.  Compare real parts and
+    # |imag| sorted (conjugate-pair ordering is not deterministic).
+    got = np.asarray(evals)
+    np.testing.assert_allclose(np.sort(got.real), np.sort(ref.real),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.sort(np.abs(got.imag)),
+                               np.sort(np.abs(ref.imag)),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_production_poly_acc_nonnormal_rejected():
+    from mugiq_tpu.production import compute_evecs_production
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=9)
+    ep = EigParam(n_ev=4, n_kr=20, operator=EigOperator.M,
+                  use_poly_acc=True, poly_deg=8)
+    with pytest.raises(ValueError, match="normal operator"):
+        compute_evecs_production(np.asarray(U), gp, ip, ep)
