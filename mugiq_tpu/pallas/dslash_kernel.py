@@ -411,3 +411,170 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
     )(psi_k, psi_k, psi_k, U_k, Ut_k)
+
+
+# ---------------------------------------------------------------------------
+# y-blocked kernel (large lattices)
+# ---------------------------------------------------------------------------
+
+def _make_yb_kernel(Z, by, X, NB, kappa=None, dagger=False, clover=False):
+    """Fused M(dag) (or hop, kappa=None) with the fused y*x axis blocked.
+
+    Tiles carry ``by`` whole y-rows plus one real y-halo row of X columns
+    each side (extended width (by+2)*X).  Needed because the full dslash
+    body on tiles wider than ~256 lanes trips this backend's compile-size
+    wall (measured: YX=256 compiles, YX=512 does not) — the same operation
+    on [Z, (by+2)X] tiles over a (T, Y/by) grid compiles at any volume.
+
+    x-shifts stay block-local (the X-row wrap never crosses a y-block);
+    y-shifts read the halo columns; z-shifts roll the (unblocked) sublane
+    axis; t-neighbours are extra pipelined blocks as in the base kernel
+    (zero-padded halos — t-hops have no y-shift, so halo columns of the
+    t-tiles are never read for interior output columns).
+    """
+    ext = by + 2
+    compute = make_slice_compute(Z, ext, X, dagger=dagger)
+    f32 = jnp.float32
+
+    def kernel(*refs):
+        if clover:
+            (pm_ref, pcm_ref, pc_ref, pcp_ref, pp_ref, Uc_ref, Uym_ref,
+             Utm_ref, A_ref, out_ref) = refs
+        else:
+            (pm_ref, pcm_ref, pc_ref, pcp_ref, pp_ref, Uc_ref, Uym_ref,
+             Utm_ref, out_ref) = refs
+            A_ref = None
+        zeros = jnp.zeros((Z, X), f32)
+
+        def pref_c(s, c, r):
+            comp = r * 12 + s * 3 + c
+            return jnp.concatenate(
+                [pcm_ref[0, comp, :, -X:].astype(f32),
+                 pc_ref[0, comp].astype(f32),
+                 pcp_ref[0, comp, :, :X].astype(f32)], axis=-1)
+
+        def pref_t(ref):
+            def get(s, c, r):
+                comp = r * 12 + s * 3 + c
+                return jnp.concatenate(
+                    [zeros, ref[0, comp].astype(f32), zeros], axis=-1)
+            return get
+
+        def uc(mu, a, b, r):
+            comp = r * 9 + a * 3 + b
+            left = (Uym_ref[0, comp, :, -X:].astype(f32) if mu == 1
+                    else zeros)
+            return jnp.concatenate(
+                [left, Uc_ref[0, mu, comp].astype(f32), zeros], axis=-1)
+
+        def utm(a, b, r):
+            comp = r * 9 + a * 3 + b
+            return jnp.concatenate(
+                [zeros, Utm_ref[0, comp].astype(f32), zeros], axis=-1)
+
+        od = out_ref.dtype
+        sl = slice(X, -X)
+        if kappa is None:
+            def write(s, c, ar, ai):
+                out_ref[0, s * 3 + c] = ar[:, sl].astype(od)
+                out_ref[0, 12 + s * 3 + c] = ai[:, sl].astype(od)
+
+            compute(pref_t(pm_ref), pref_c, pref_t(pp_ref), uc, utm, write)
+            return
+
+        hop = {}
+
+        def write(s, c, ar, ai):
+            hop[(s, c)] = (ar[:, sl], ai[:, sl])
+
+        compute(pref_t(pm_ref), pref_c, pref_t(pp_ref), uc, utm, write)
+        pcd = lambda s, c, r: pc_ref[0, r * 12 + s * 3 + c].astype(f32)
+        for s in range(4):
+            for c in range(3):
+                hr, hi = hop[(s, c)]
+                if A_ref is None:
+                    dr = pcd(s, c, 0)
+                    di = pcd(s, c, 1)
+                else:
+                    chi, k = s // 2, (s % 2) * 3 + c
+                    dr = di = None
+                    for j in range(6):
+                        sj, cj = 2 * chi + j // 3, j % 3
+                        ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2
+                                    + 0].astype(f32)
+                        ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2
+                                    + 1].astype(f32)
+                        vr, vi = pcd(sj, cj, 0), pcd(sj, cj, 1)
+                        tr = ar_ * vr - ai_ * vi
+                        ti = ar_ * vi + ai_ * vr
+                        dr = tr if dr is None else dr + tr
+                        di = ti if di is None else di + ti
+                out_ref[0, s * 3 + c] = (dr - kappa * hr).astype(od)
+                out_ref[0, 12 + s * 3 + c] = (di - kappa * hi).astype(od)
+
+    return kernel
+
+
+def _yb_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
+             out_dtype):
+    T, _, Z, YX = psi_k.shape
+    X = YX // Y
+    assert Y % by == 0, (Y, by)
+    NB = Y // by
+    bw = by * X
+    kernel = _make_yb_kernel(Z, by, X, NB, kappa=kappa, clover=clover,
+                             dagger=dagger)
+    Uy_k = U_k[:, 1]
+
+    def ps(tmap, ymap):
+        return pl.BlockSpec((1, 24, Z, bw),
+                            lambda i, j: (tmap(i), 0, 0, ymap(j)),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        ps(lambda i: (i - 1) % T, lambda j: j),        # psi t-1
+        ps(lambda i: i, lambda j: (j - 1) % NB),       # psi y-1
+        ps(lambda i: i, lambda j: j),                  # psi centre
+        ps(lambda i: i, lambda j: (j + 1) % NB),       # psi y+1
+        ps(lambda i: (i + 1) % T, lambda j: j),        # psi t+1
+        pl.BlockSpec((1, 4, 18, Z, bw), lambda i, j: (i, 0, 0, 0, j),
+                     memory_space=pltpu.VMEM),         # U centre
+        pl.BlockSpec((1, 18, Z, bw), lambda i, j: (i, 0, 0, (j - 1) % NB),
+                     memory_space=pltpu.VMEM),         # U_y at y-1
+        pl.BlockSpec((1, 18, Z, bw), lambda i, j: ((i - 1) % T, 0, 0, j),
+                     memory_space=pltpu.VMEM),         # U_t at t-1
+    ]
+    args = [psi_k, psi_k, psi_k, psi_k, psi_k, U_k, Uy_k, Ut_k]
+    if clover:
+        in_specs.append(pl.BlockSpec((1, 144, Z, bw),
+                                     lambda i, j: (i, 0, 0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(T, NB),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, bw), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape,
+                                       out_dtype or psi_k.dtype),
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "dagger", "out_dtype"))
+def dslash_hop_pallas_yb(psi_k, U_k, Ut_k, Y: int, by: int = 4,
+                         dagger: bool = False, out_dtype=None):
+    """Hopping term, y-blocked kernel (grid (T, Y/by)) — the large-lattice
+    variant (see _make_yb_kernel)."""
+    return _yb_call(psi_k, U_k, Ut_k, None, Y, by, None, False, dagger,
+                    out_dtype)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "kappa", "dagger",
+                                   "has_clover"))
+def wilson_m_pallas_yb(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
+                       by: int = 4, dagger: bool = False,
+                       has_clover: bool = False):
+    """Fused M(dag), y-blocked kernel (large lattices)."""
+    return _yb_call(psi_k, U_k, Ut_k, A144 if has_clover else None, Y, by,
+                    kappa, has_clover, dagger, None)
