@@ -64,6 +64,9 @@ def add_eig_args(p: argparse.ArgumentParser):
     g.add_argument("--eig-amax", type=float, default=0.0,
                    help="0 = auto-estimate")
     g.add_argument("--eig-seed", type=int, default=1234)
+    g.add_argument("--eig-block-size", type=int, default=1,
+                   help="block thick-restart Lanczos block size (>1; "
+                   "production normal-operator path)")
     g.add_argument("--eig-vec-outfile", default="",
                    help="save eigenvectors/values (HDF5)")
     g.add_argument("--eig-vec-infile", default="",
@@ -122,7 +125,8 @@ def build_params(args):
                   operator=EigOperator[args.eig_operator],
                   use_poly_acc=args.eig_use_poly_acc,
                   poly_deg=args.eig_poly_deg, a_min=args.eig_amin,
-                  a_max=args.eig_amax, seed=args.eig_seed)
+                  a_max=args.eig_amax, seed=args.eig_seed,
+                  block_size=args.eig_block_size)
     return gp, ip, ep
 
 

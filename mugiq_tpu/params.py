@@ -102,6 +102,8 @@ class EigParam:
     a_max: float = 0.0               # 0 -> auto-estimate
     check_interval: int = 1          # restarts between convergence checks
     seed: int = 1234
+    block_size: int = 1              # >1: block thick-restart Lanczos
+                                     # (beyond-reference; normal ops only)
 
 
 @dataclass

@@ -160,14 +160,17 @@ def build_rc_dirac(U_np: np.ndarray, gauge: GaugeParam, inv: InvertParam):
     """WilsonDiracRC from a complex numpy gauge (host-side phases/convert)."""
     from .rc.dirac_rc import WilsonDiracRC
 
-    if inv.dslash_type != DslashType.WILSON:
-        raise NotImplementedError(
-            "production path supports Wilson only (clover pending)")
     u = np.asarray(U_np).copy()
     if gauge.antiperiodic_t:
         u[3, -1] *= -1.0
     U_rc = jnp.asarray(np.stack([u.real, u.imag], axis=-1), dtype=jnp.float32)
-    return WilsonDiracRC(U=U_rc, kappa=inv.kappa)
+    A_rc = None
+    if inv.dslash_type == DslashType.CLOVER_WILSON:
+        from .clover_np import clover_field_np
+        A = clover_field_np(u, inv.kappa, inv.csw)
+        A_rc = jnp.asarray(np.stack([A.real, A.imag], axis=-1),
+                           dtype=jnp.float32)
+    return WilsonDiracRC(U=U_rc, kappa=inv.kappa, A=A_rc)
 
 
 def _rc_evecs_to_planar(evecs_rc):
@@ -258,11 +261,20 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
             f"window=[{eig.a_min}, {a_max:.4f}]")
 
     with phase_timer("eigensolve"):
-        res = lanczos_hermitian_realpair(
-            it_fn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
-            tol=eig.tol, max_restarts=eig.max_restarts,
-            which=it_which, check_interval=eig.check_interval,
-            matvec_args=op_args, **lanczos_kw)
+        if eig.block_size > 1:
+            from .planar.block_lanczos import block_lanczos_hermitian_realpair
+            res = block_lanczos_hermitian_realpair(
+                it_fn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr,
+                block_size=eig.block_size, re_im_axis=1,
+                tol=eig.tol, max_restarts=eig.max_restarts,
+                which=it_which, check_interval=eig.check_interval,
+                matvec_args=op_args, seed=seed, **lanczos_kw)
+        else:
+            res = lanczos_hermitian_realpair(
+                it_fn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr, re_im_axis=1,
+                tol=eig.tol, max_restarts=eig.max_restarts,
+                which=it_which, check_interval=eig.check_interval,
+                matvec_args=op_args, **lanczos_kw)
     log(f"production eigensolve: converged={res.converged} "
         f"restarts={res.n_restarts}")
 
@@ -365,6 +377,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         data_pos = jnp.stack(slots)          # [l, 2, 16, T, Z, Y, X]
 
     data_mom = None
+    mapped = None
     if loop_param.do_mom_proj:
         from .planar.phase import momentum_project_planar
         ph = phase_matrix_planar(geom, loop_param.momenta,
@@ -386,6 +399,18 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
                              [tuple(m) for m in loop_param.momenta],
                              cp.slot_labels())
         log(f"production loop data written to {loop_param.fname_mom_h5}")
+
+    if loop_param.write_pos_space_hdf5 and loop_param.fname_pos_h5:
+        # g5-mapped, like the validation API (api.py writes map_gamma_g5
+        # data for consistency with the momentum-space output)
+        from .io.hdf5io import write_loops_hdf5_pos
+        if mapped is None:
+            mapped = map_gamma_g5_planar(data_pos)
+        a = np.asarray(mapped)               # [l, 2, 16, T, Z, Y, X]
+        write_loops_hdf5_pos(loop_param.fname_pos_h5, a[:, 0] + 1j * a[:, 1],
+                             cp.slot_labels())
+        log(f"production pos-space loop data written to "
+            f"{loop_param.fname_pos_h5}")
 
     pos_np = None
     if keep_pos:

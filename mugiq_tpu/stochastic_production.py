@@ -58,7 +58,9 @@ class DeflationSpaceKernel:
 
     @classmethod
     def build(cls, op, evecs, evals):
-        Mv = jax.jit(jax.vmap(op.M))(evecs)
+        # unrolled over the (small) basis rather than vmap: works unchanged
+        # for the sharded operator (shard_map under vmap is not needed)
+        Mv = jnp.stack([op.M(evecs[i]) for i in range(evecs.shape[0])])
         return cls(evecs=evecs, evals=jnp.asarray(np.asarray(evals).real,
                                                   dtype=jnp.float32),
                    M_evecs=Mv)
@@ -85,16 +87,21 @@ def stochastic_loop_trace_production(
     solver_maxiter: int = 2000,
     seed: int = 99,
 ):
-    """[2, 16, T, Z, Y, X] estimate of the per-site Tr[Gamma M^{-1}]."""
+    """[2, 16, T, Z, Y, X] estimate of the per-site Tr[Gamma M^{-1}].
+
+    op may be the single-device WilsonDiracKernel or the multi-chip
+    ShardedWilsonKernel — noise vectors are placed with the operator's
+    sharding (if any) and the CG/contraction algebra propagates it."""
     Y = geom.dims[1]
     mdagm = jax.jit(op.MdagM)
     mdag = jax.jit(op.Mdag)
     to_pl = jax.jit(lambda v: dk.from_kernel_spinor(v, Y=Y))
     contract = jax.jit(loop_contract_production)
+    place = getattr(op, "place", lambda x: x)
 
     acc = None
     for i in range(n_noise):
-        eta = jnp.asarray(z4_noise_kernel_np(geom.dims, seed + i))
+        eta = place(jnp.asarray(z4_noise_kernel_np(geom.dims, seed + i)))
         rhs = eta
         s0 = None
         if deflation is not None:

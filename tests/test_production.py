@@ -173,3 +173,95 @@ def test_production_poly_acc_nonnormal_rejected():
                   use_poly_acc=True, poly_deg=8)
     with pytest.raises(ValueError, match="normal operator"):
         compute_evecs_production(np.asarray(U), gp, ip, ep)
+
+
+def test_build_rc_dirac_clover_matches_complex():
+    """build_rc_dirac with CLOVER_WILSON matches the complex clover M."""
+    from mugiq_tpu.production import build_rc_dirac
+    from mugiq_tpu.dirac import make_dirac
+    from mugiq_tpu.rc.cplx import to_rc, from_rc
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.CLOVER_WILSON, kappa=0.12,
+                     csw=1.1)
+    U = fields.weak_gauge(geom, eps=0.3, seed=7)
+    dirac = make_dirac(U, gp, ip)
+    rc = build_rc_dirac(np.asarray(U), gp, ip)
+    psi = fields.random_spinor(geom, seed=8)
+    ref = np.asarray(dirac.M(psi))
+    got = np.asarray(from_rc(rc.M(to_rc(psi).astype(jnp.float32))))
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+    ref2 = np.asarray(dirac.MdagM(psi))
+    got2 = np.asarray(from_rc(rc.MdagM(to_rc(psi).astype(jnp.float32))))
+    np.testing.assert_allclose(got2, ref2, atol=5e-5)
+
+
+def test_production_mg_clover_loop_runs():
+    """MG-deflated production loops on the clover operator (the rc MG
+    hierarchy Galerkin-coarsens the clover diagonal through diag_term)."""
+    from mugiq_tpu.production import compute_loop_production
+    from mugiq_tpu.params import MGParam
+
+    geom = LatticeGeometry((4, 4, 4, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.CLOVER_WILSON, kappa=0.12,
+                     csw=1.0)
+    ep = EigParam(n_ev=2, n_kr=10, tol=5e-5, max_restarts=200,
+                  operator=EigOperator.MdagM)
+    mgp = MGParam(n_level=2, geo_block_size=[(2, 2, 2, 2)], n_vec=[4],
+                  setup_iters=10)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=True)
+    U = fields.weak_gauge(geom, eps=0.3, seed=2)
+    prod = compute_loop_production(np.asarray(U), gp, ip, ep, lp,
+                                   use_mg=True, mg=mgp)
+    assert prod.converged
+    assert np.all(np.isfinite(prod.data_mom))
+    assert np.all(prod.evals > 0)
+
+
+def test_production_block_lanczos_plumbing():
+    """EigParam.block_size>1 routes through block TRLM; same eigenvalues."""
+    from mugiq_tpu.production import compute_evecs_production
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=9)
+    ep1 = EigParam(n_ev=3, n_kr=24, tol=1e-5, max_restarts=300,
+                   operator=EigOperator.MdagM)
+    _, ev1, _, _ = compute_evecs_production(np.asarray(U), gp, ip, ep1)
+    ep2 = EigParam(n_ev=3, n_kr=24, tol=1e-5, max_restarts=300,
+                   operator=EigOperator.MdagM, block_size=2)
+    res2, ev2, _, rs2 = compute_evecs_production(np.asarray(U), gp, ip, ep2)
+    assert res2.converged
+    np.testing.assert_allclose(np.sort(ev2), np.sort(ev1), rtol=1e-3)
+    assert max(rs2) < 5e-3
+
+
+def test_production_pos_space_write(tmp_path):
+    """write_pos_space_hdf5 writes g5-mapped position-space loops."""
+    import h5py
+    from mugiq_tpu.production import compute_loop_production
+    from mugiq_tpu.ops.phase import map_gamma_g5
+    from mugiq_tpu.io.hdf5io import GAMMA_NAMES
+
+    fname = str(tmp_path / "pos.h5")
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.115)
+    ep = EigParam(n_ev=2, n_kr=12, tol=5e-5, max_restarts=200,
+                  operator=EigOperator.MdagM)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=False,
+                   write_pos_space_hdf5=True, fname_pos_h5=fname)
+    U = fields.weak_gauge(GEOM, eps=0.2, seed=13)
+    prod = compute_loop_production(np.asarray(U), gp, ip, ep, lp,
+                                   keep_pos=True)
+    expect = np.asarray(map_gamma_g5(prod.data_pos))
+    with h5py.File(fname, "r") as f:
+        assert "disp_0" in f or len(f.keys()) == 1
+        label = list(f.keys())[0]
+        for ig, gname in enumerate(GAMMA_NAMES):
+            arr = f[label][gname]["loop"][...]
+            got = arr[..., 0] + 1j * arr[..., 1]
+            np.testing.assert_allclose(got, expect[0, ig], rtol=2e-5,
+                                       atol=1e-5)

@@ -136,3 +136,31 @@ def test_sharded_lanczos_matches_single_device():
         lam = res_sh.evals[i]
         r = np.linalg.norm(w - lam * np.asarray(v))
         assert r < 5e-3 * max(1.0, abs(lam))
+
+
+def test_sharded_arnoldi_matches_unsharded():
+    """Non-normal production eigensolve (Krylov-Schur Arnoldi on M) with the
+    operator + basis sharded over the mesh reproduces the single-device
+    spectrum."""
+    from mugiq_tpu.params import (DslashType, EigParam, GaugeParam,
+                                  InvertParam, EigOperator, Spectrum)
+    from mugiq_tpu.production import compute_evecs_production
+
+    geom = LatticeGeometry((8, 4, 4, 8))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.115)
+    ep = EigParam(n_ev=2, n_kr=32, tol=5e-4, max_restarts=300,
+                  operator=EigOperator.M, spectrum=Spectrum.SM)
+    U = np.asarray(fields.weak_gauge(geom, eps=0.2, seed=21))
+
+    res_ref, ev_ref, _, _ = compute_evecs_production(U, gp, ip, ep)
+    assert res_ref.converged
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "z"))
+    res_sh, ev_sh, _, _ = compute_evecs_production(U, gp, ip, ep, mesh=mesh)
+    assert res_sh.converged
+    np.testing.assert_allclose(np.sort(ev_sh.real), np.sort(ev_ref.real),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.sort(np.abs(ev_sh.imag)),
+                               np.sort(np.abs(ev_ref.imag)),
+                               rtol=1e-3, atol=1e-5)

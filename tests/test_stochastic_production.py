@@ -82,3 +82,32 @@ def test_estimator_converges(setup):
     got_tr = est[0].sum()
     exact_tr = expect[0].sum()
     assert abs(got_tr - exact_tr) / abs(exact_tr) < 0.2
+
+
+def test_stochastic_trace_sharded_matches_single():
+    """stochastic_loop_trace_production with the ShardedWilsonKernel on an
+    8-device mesh reproduces the single-device estimate bit-for-... well,
+    f32-for-f32 (same noise; only reduction order differs)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mugiq_tpu.parallel.shard_op import ShardedWilsonKernel
+
+    geom = LatticeGeometry((8, 4, 4, 8))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    U = fields.weak_gauge(geom, eps=0.3, seed=33)
+    dirac = make_dirac(U, gp, ip)
+    U_k = dk.to_kernel_gauge(gauge_to_planar(dirac.U))
+    op1 = WilsonDiracKernel(U_k=jnp.asarray(U_k, jnp.float32), kappa=KAPPA,
+                            Y=geom.Ly)
+    ref = np.asarray(stochastic_loop_trace_production(
+        op1, geom, n_noise=2, solver_tol=1e-5, solver_maxiter=500, seed=5))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "z"))
+    op8 = ShardedWilsonKernel.from_kernel_op(mesh, op1)
+    got = np.asarray(stochastic_loop_trace_production(
+        op8, geom, n_noise=2, solver_tol=1e-5, solver_maxiter=500, seed=5))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
