@@ -194,15 +194,21 @@ class StencilOperatorRC:
                                     jnp.roll(f, -sign, axis=ax)))
 
 
-def galerkin_coarse_operator_rc(fine_op, transfer: TransferRC
-                                ) -> StencilOperatorRC:
-    """Exact R A P in rc arithmetic (same probing scheme as mg/coarse.py)."""
+def galerkin_coarse_operator_rc(fine_op, transfer: TransferRC,
+                                place=None) -> StencilOperatorRC:
+    """Exact R A P in rc arithmetic (same probing scheme as mg/coarse.py).
+
+    place (optional): device-placement callable applied to the fine-volume
+    probe batch (e.g. a t/z-sharded rc sharding — the ns_c*n_vec probes at
+    fine volume dominate MG setup memory at 32^3x64)."""
     g = transfer.geom
     ns_c = g.ns_coarse
     n_vec = transfer.V.shape[-2]
     n = ns_c * n_vec
 
     probes = transfer.probe_fine_vectors()
+    if place is not None:
+        probes = place(probes)
 
     def restrict_cols(fields, mask=None):
         r = jax.vmap(lambda h: transfer.restrict(h, mask))(fields)
@@ -259,13 +265,20 @@ class MGEnvRC:
 
     @classmethod
     def build(cls, fine_op_rc, params: MGParam,
-              fast_fine_op=None) -> "MGEnvRC":
+              fast_fine_op=None, mesh=None) -> "MGEnvRC":
         """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
         (e.g. WilsonDiracRC).
 
-        fast_fine_op: optional kernel-layout operator (WilsonDiracKernel)
-        used only for the null-vector smoothing CG — the pallas MdagM is
-        ~10x the rc XLA path; results are converted back to rc."""
+        fast_fine_op: optional kernel-layout operator (WilsonDiracKernel or
+        ShardedWilsonKernel) used only for the null-vector smoothing CG —
+        the pallas MdagM is ~10x the rc XLA path; results are converted
+        back to rc.
+
+        mesh: shard the fine-level setup over a ('t'[, 'z']) device mesh —
+        the smoothing runs per-vector on the sharded operator and the
+        fine-volume rc null vectors are placed t/z-sharded so the transfer
+        build and Galerkin probing distribute (the nc*ns fine-volume probe
+        batch is the MG memory hog at scale)."""
         n_coarse = params.n_level - 1
         level_ops = [fine_op_rc]
         transfers = []
@@ -283,10 +296,20 @@ class MGEnvRC:
                     bk = jnp.asarray(rng.standard_normal(
                         (params.n_vec[lev], T, 24, Z, Y * X)),
                         dtype=jnp.float32)
-                    solve = jax.jit(jax.vmap(
-                        lambda rhs: _cg_realpair(fast_fine_op.MdagM, rhs,
-                                                 params.setup_iters)))
-                    Bk = solve(bk)
+                    if mesh is not None:
+                        # sharded operator: smooth per vector (shard_map
+                        # composes with jit, not with this vmap batch)
+                        from ..parallel.shard_op import spinor_sharding
+                        bk = jax.device_put(bk, spinor_sharding(mesh, 1))
+                        one = jax.jit(lambda rhs: _cg_realpair(
+                            fast_fine_op.MdagM, rhs, params.setup_iters))
+                        Bk = jnp.stack([one(bk[i])
+                                        for i in range(bk.shape[0])])
+                    else:
+                        solve = jax.jit(jax.vmap(
+                            lambda rhs: _cg_realpair(fast_fine_op.MdagM, rhs,
+                                                     params.setup_iters)))
+                        Bk = solve(bk)
                     # kernel layout -> rc: [T,24,Z,YX] -> [T,Z,Y,X,s,c,2]
                     to_pl = jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y))
                     B_pl = to_pl(Bk)      # [n, 2, s, c, T, Z, Y, X]
@@ -301,10 +324,17 @@ class MGEnvRC:
                 nrm = jnp.sqrt(jnp.sum(
                     B * B, axis=tuple(range(1, B.ndim)), keepdims=True))
                 B = B / nrm
+            if mesh is not None and lev == 0:
+                from ..production import rc_sharding
+                B = jax.device_put(B, rc_sharding(mesh, n_leading=1))
             with phase_timer(f"mg-rc-transfer-l{lev}"):
                 tr = TransferRC.build(B, params.geo_block_size[lev], spin_block)
             with phase_timer(f"mg-rc-galerkin-l{lev}"):
-                coarse = galerkin_coarse_operator_rc(op, tr)
+                coarse = galerkin_coarse_operator_rc(
+                    op, tr,
+                    place=(None if mesh is None or lev > 0 else
+                           (lambda p: jax.device_put(
+                               p, rc_sharding(mesh, n_leading=1)))))
             log(f"MGEnvRC: level {lev + 1} built — coarse dims "
                 f"{tr.geom.coarse_dims}, n={coarse.ns * coarse.nc}")
             transfers.append(tr)

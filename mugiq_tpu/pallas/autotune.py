@@ -131,18 +131,35 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
     The timed variants take the field operands as jit arguments; the
     returned callable closes over them for convenience (single dispatch of
     an already-compiled executable embeds no constants)."""
-    from .dslash_kernel import wilson_m_pallas
+    from .dslash_kernel import wilson_m_pallas, wilson_m_pallas_yb
     from .dslash_win_kernel import wilson_m_pallas_win
 
     T = psi.shape[0]
-    variants = {"base": lambda p, U, Ut, A: wilson_m_pallas(
-        p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
-        has_clover=has_clover)}
-    for bt in (2, 4):
-        if T % bt == 0:
-            variants[f"win{bt}"] = lambda p, U, Ut, A, b=bt: (
-                wilson_m_pallas_win(p, U, Ut, A, Y=Y, kappa=kappa, bt=b,
-                                    dagger=dagger, has_clover=has_clover))
+    YX = psi.shape[-1]
+    X = YX // Y
+    variants = {}
+    # full-width [Z, YX] kernels: compile-size wall above ~256 lanes
+    # (measured: YX=256 compiles, 512 does not) — skip them at width
+    if YX <= 256:
+        variants["base"] = lambda p, U, Ut, A: wilson_m_pallas(
+            p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
+            has_clover=has_clover)
+        for bt in (2, 4):
+            if T % bt == 0:
+                variants[f"win{bt}"] = lambda p, U, Ut, A, b=bt: (
+                    wilson_m_pallas_win(p, U, Ut, A, Y=Y, kappa=kappa, bt=b,
+                                        dagger=dagger,
+                                        has_clover=has_clover))
+    # y-blocked kernels: the large-lattice path (tile width (by+2)*X)
+    for by in (2, 4, 8):
+        if Y % by == 0 and by < Y and (by + 2) * X <= 512:
+            variants[f"yb{by}"] = lambda p, U, Ut, A, b=by: (
+                wilson_m_pallas_yb(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
+                                   dagger=dagger, has_clover=has_clover))
+    if not variants:
+        variants["base"] = lambda p, U, Ut, A: wilson_m_pallas(
+            p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
+            has_clover=has_clover)
     name = tune_variants("wilson_m_dag" if dagger else "wilson_m",
                          variants, psi, U_k, Ut_k, A144, force=force)
     win = variants[name]

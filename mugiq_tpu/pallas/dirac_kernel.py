@@ -150,7 +150,21 @@ class WilsonDiracKernel:
         self._A144 = (jnp.zeros((1,), self.U_k.dtype) if self.A_blocks is None
                       else pack_clover_kernel144(self.A_blocks))
         self._m_fn = self._mdag_fn = None
-        self._m_variant = self._mdag_variant = "base"
+        # untuned default: the full-width [Z, YX] kernels trip this
+        # backend's compile-size wall above ~256 lanes (measured: YX=256
+        # compiles, 512 does not) — large lattices default to the
+        # y-blocked kernel so 32^3x64 runs without tuning.
+        default = "base"
+        YX = self.U_k.shape[-1]
+        X = YX // self.Y
+        if YX > 256:
+            for by in (8, 4, 2):
+                if self.Y % by == 0 and (by + 2) * X <= 256:
+                    default = f"yb{by}"
+                    break
+            else:
+                default = "yb2" if self.Y % 2 == 0 else "base"
+        self._m_variant = self._mdag_variant = default
 
     def tune(self, psi=None, force=False):
         """Autotune the fused M/Mdag kernel variant for this lattice size on
@@ -171,25 +185,37 @@ class WilsonDiracKernel:
             psi, dagger=True, force=force)
         return self
 
+    def _dispatch_m(self, psi, U, Ut, A, dagger):
+        """Apply the selected kernel variant (base / win:bt / yb:by)."""
+        from .dslash_kernel import wilson_m_pallas, wilson_m_pallas_yb
+        from .dslash_win_kernel import wilson_m_pallas_win
+
+        has_c = self.A_blocks is not None
+        var = self._mdag_variant if dagger else self._m_variant
+        if var.startswith("win"):
+            return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
+                                       kappa=self.kappa, bt=int(var[3:]),
+                                       dagger=dagger, has_clover=has_c)
+        if var.startswith("yb"):
+            return wilson_m_pallas_yb(psi, U, Ut, A, Y=self.Y,
+                                      kappa=self.kappa, by=int(var[2:]),
+                                      dagger=dagger, has_clover=has_c)
+        return wilson_m_pallas(psi, U, Ut, A, Y=self.Y, kappa=self.kappa,
+                               dagger=dagger, has_clover=has_c)
+
     def M(self, psi):
         """Fully fused: A psi - kappa*hop in ONE kernel pass (clover as
         in-VMEM chiral 6x6 blocks)."""
-        from .dslash_kernel import wilson_m_pallas
         if self._m_fn is not None:
             return self._m_fn(psi)
-        return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
-                               Y=self.Y, kappa=self.kappa, dagger=False,
-                               has_clover=self.A_blocks is not None)
+        return self._dispatch_m(psi, self.U_k, self.Ut_k, self._A144, False)
 
     def Mdag(self, psi):
         """M^dag via the dagger-variant fused kernel (g5 folded into the
         spin projectors; the clover diagonal is Hermitian)."""
-        from .dslash_kernel import wilson_m_pallas
         if self._mdag_fn is not None:
             return self._mdag_fn(psi)
-        return wilson_m_pallas(psi, self.U_k, self.Ut_k, self._A144,
-                               Y=self.Y, kappa=self.kappa, dagger=True,
-                               has_clover=self.A_blocks is not None)
+        return self._dispatch_m(psi, self.U_k, self.Ut_k, self._A144, True)
 
     def MdagM(self, psi):
         return self.Mdag(self.M(psi))
@@ -208,21 +234,8 @@ class WilsonDiracKernel:
         inside an outer jit embeds the links as HLO constants — which
         bloats every compile and overflows the tunnelled backend's
         compile-request limit at large volumes (604 MB at 32^3x64)."""
-        from .dslash_kernel import wilson_m_pallas
-        from .dslash_win_kernel import wilson_m_pallas_win
-
-        has_c = self.A_blocks is not None
-
         def m(psi, U, Ut, A, dagger):
-            var = self._mdag_variant if dagger else self._m_variant
-            if var.startswith("win"):
-                return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
-                                           kappa=self.kappa,
-                                           bt=int(var[3:]), dagger=dagger,
-                                           has_clover=has_c)
-            return wilson_m_pallas(psi, U, Ut, A, Y=self.Y,
-                                   kappa=self.kappa, dagger=dagger,
-                                   has_clover=has_c)
+            return self._dispatch_m(psi, U, Ut, A, dagger)
 
         fns = {
             EigOperator.M: lambda p, U, Ut, A: m(p, U, Ut, A, False),

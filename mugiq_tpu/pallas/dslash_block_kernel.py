@@ -122,7 +122,7 @@ def dslash_hop_pallas_db(psi_k: jnp.ndarray, U_k: jnp.ndarray,
         kernel,
         grid=(T // bt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bt, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 18, Z, YX), lambda i: (i, 0, 0, 0),
@@ -157,9 +157,9 @@ def dslash_hop_pallas_blocked(psi_k: jnp.ndarray, U_k: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bt, 24, Z, YX), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -79,6 +79,74 @@ def _qr(mu, forward):
     return q, r
 
 
+def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
+    """One directed Wilson hop: project-to-half-spinor, SU(3) multiply,
+    reconstruct, accumulate via add_acc(s, c, re, im).
+
+    get_psi(s,c,r)->[Z,YX] neighbour spinor component, get_link(a,b,r)->
+    [Z,YX] link component (link dagger handled by caller swapping (a,b)
+    and negating im).  dagger=True computes the adjoint hop D^dag =
+    g5 D g5: the link structure is identical, only the spin projectors
+    swap sign of gamma ((1 -/+ g) -> (1 +/- g)) — g5 is fused away.
+    Shared by the full-volume kernels (make_slice_compute) and the packed
+    even-odd parity kernel (schur_kernel)."""
+    # operator dagger: swapped spin projectors (g5 fused away)
+    q, r = _qr(mu, forward != dagger)
+    # project to half spinor h[hs][c]
+    h = {}
+    for hs in range(2):
+        for c in range(3):
+            hr = hi = None
+            for s in range(4):
+                coeff = q[hs, s]
+                if coeff == 0:
+                    continue
+                cr, ci = float(coeff.real), float(coeff.imag)
+                pr = get_psi(s, c, 0)
+                pi = get_psi(s, c, 1)
+                tr = ti = None
+                if cr != 0.0:
+                    tr = pr * cr
+                    ti = pi * cr
+                if ci != 0.0:
+                    tr = (-pi * ci) if tr is None else tr - pi * ci
+                    ti = (pr * ci) if ti is None else ti + pr * ci
+                hr = tr if hr is None else hr + tr
+                hi = ti if hi is None else hi + ti
+            h[(hs, c)] = (hr, hi)
+    # link multiply g[hs][a] = sum_b U[a,b] h[hs][b]
+    g = {}
+    for hs in range(2):
+        for a in range(3):
+            gr = gi = None
+            for b in range(3):
+                ur = get_link(a, b, 0)
+                ui = get_link(a, b, 1)
+                hr, hi = h[(hs, b)]
+                tr = ur * hr - ui * hi
+                ti = ur * hi + ui * hr
+                gr = tr if gr is None else gr + tr
+                gi = ti if gi is None else gi + ti
+            g[(hs, a)] = (gr, gi)
+    # reconstruct out[s][c] += r[s, hs] g[hs][c]
+    for s in range(4):
+        for hs in range(2):
+            coeff = r[s, hs]
+            if coeff == 0:
+                continue
+            cr, ci = float(coeff.real), float(coeff.imag)
+            for c in range(3):
+                gr, gi = g[(hs, c)]
+                vr = vi = None
+                if cr != 0.0:
+                    vr = gr * cr
+                    vi = gi * cr
+                if ci != 0.0:
+                    vr = (-gi * ci) if vr is None else vr - gi * ci
+                    vi = (gr * ci) if vi is None else vi + gr * ci
+                add_acc(s, c, vr, vi)
+
+
 def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
     """Per-time-slice dslash body, parameterised over component getters.
 
@@ -123,64 +191,7 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
                 acc[s][c] = (ar + vr, ai + vi)
 
         def hop(mu, forward, get_psi, get_link):
-            """One directed hop; get_psi(s,c,r)->[Z,YX] neighbour component,
-            get_link(a,b,r)->[Z,YX] link component (link dagger handled by
-            caller swapping (a,b) and negating im)."""
-            # operator dagger: swapped spin projectors (g5 fused away)
-            q, r = _qr(mu, forward != dagger)
-            # project to half spinor h[hs][c]
-            h = {}
-            for hs in range(2):
-                for c in range(3):
-                    hr = hi = None
-                    for s in range(4):
-                        coeff = q[hs, s]
-                        if coeff == 0:
-                            continue
-                        cr, ci = float(coeff.real), float(coeff.imag)
-                        pr = get_psi(s, c, 0)
-                        pi = get_psi(s, c, 1)
-                        tr = ti = None
-                        if cr != 0.0:
-                            tr = pr * cr
-                            ti = pi * cr
-                        if ci != 0.0:
-                            tr = (-pi * ci) if tr is None else tr - pi * ci
-                            ti = (pr * ci) if ti is None else ti + pr * ci
-                        hr = tr if hr is None else hr + tr
-                        hi = ti if hi is None else hi + ti
-                    h[(hs, c)] = (hr, hi)
-            # link multiply g[hs][a] = sum_b U[a,b] h[hs][b]
-            g = {}
-            for hs in range(2):
-                for a in range(3):
-                    gr = gi = None
-                    for b in range(3):
-                        ur = get_link(a, b, 0)
-                        ui = get_link(a, b, 1)
-                        hr, hi = h[(hs, b)]
-                        tr = ur * hr - ui * hi
-                        ti = ur * hi + ui * hr
-                        gr = tr if gr is None else gr + tr
-                        gi = ti if gi is None else gi + ti
-                    g[(hs, a)] = (gr, gi)
-            # reconstruct out[s][c] += r[s, hs] g[hs][c]
-            for s in range(4):
-                for hs in range(2):
-                    coeff = r[s, hs]
-                    if coeff == 0:
-                        continue
-                    cr, ci = float(coeff.real), float(coeff.imag)
-                    for c in range(3):
-                        gr, gi = g[(hs, c)]
-                        vr = vi = None
-                        if cr != 0.0:
-                            vr = gr * cr
-                            vi = gi * cr
-                        if ci != 0.0:
-                            vr = (-gi * ci) if vr is None else vr - gi * ci
-                            vi = (gr * ci) if vi is None else vi + gr * ci
-                        add_acc(s, c, vr, vi)
+            apply_hop(add_acc, dagger, mu, forward, get_psi, get_link)
 
         # ---- spatial directions: neighbours via in-VMEM shifts ----
         for mu in range(3):

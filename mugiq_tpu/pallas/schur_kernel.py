@@ -1,0 +1,367 @@
+"""Packed even-odd (half-volume) parity hop + Schur operator (pallas TPU).
+
+The masked Schur operator (dirac_kernel.SchurDiracKernel) runs the full
+dslash kernel twice and throws away half of each result with a parity
+mask — 2x redundant arithmetic AND traffic on every pc solve (the
+reference works on QUDA parity-subset fields instead:
+lib/eigsolve_mugiq.cpp:169-181 pc_solve, parity indexing in
+lib/mugiq_displace_kernels.cu:3-6).  This module packs fields to half
+volume along x and runs a parity-restricted hop kernel.
+
+Packed layout (kernel-native, x packed 2:1):
+    psi_p:  [T, 24, Z, Y*Xh]   Xh = X/2; site (t,z,y,xh) of parity p is
+                               x = 2*xh + (t+z+y+p) % 2  (x-fastest order)
+    U_p:    [T, 4, 18, Z, Y*Xh]  links BASED at parity-p sites
+
+Stencil structure after packing (output parity po, input parity 1-po,
+row offset oo = (t+z+y+po) % 2):
+    y/z/t hops: the neighbour keeps the SAME packed column xh — identical
+        rolls / pipelined t-blocks as the full kernel, just on a
+        half-width lane axis;
+    x hops: the neighbour is xh or xh+/-1 depending on oo — computed as a
+        select between the unshifted and rolled tile against a
+        precomputed row-offset mask (VPU-cheap; rows are offset-uniform).
+Forward links come from the OUTPUT-parity link array (based at x), the
+backward links from the INPUT-parity array at the neighbour site (same
+shift rule as the neighbour spinor fetch).
+
+The second hop of the Schur complement fuses the identity combine:
+out = psi_e - kappa^2 * hop_eo(hop_oe(psi_e)) in two kernel passes total
+(the masked form needs two FULL-volume passes plus the combine).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import EigOperator
+from .dslash_kernel import apply_hop, pallas_call_auto
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack (host or traced; cheap gathers, run once per solve)
+# ---------------------------------------------------------------------------
+
+def _offsets_np(T, Z, Y, parity):
+    """Row x-offset (t+z+y+parity) % 2 as int array [T, Z, Y]."""
+    t, z, y = np.meshgrid(np.arange(T), np.arange(Z), np.arange(Y),
+                          indexing="ij")
+    return ((t + z + y + parity) % 2).astype(np.int32)
+
+
+def offset_mask(T, Z, Y, Xh, parity, dtype=np.float32):
+    """[T, 1, Z, Y*Xh] 0/1 mask of the OUTPUT-row x-offset oo (kernel
+    input; rows are offset-uniform so the mask is constant along xh)."""
+    off = _offsets_np(T, Z, Y, parity)                      # [T, Z, Y]
+    m = np.repeat(off[..., None], Xh, axis=-1)              # [T, Z, Y, Xh]
+    return jnp.asarray(m.reshape(T, 1, Z, Y * Xh).astype(dtype))
+
+
+def pack_parity(field_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
+    """Full kernel-layout field [T, C, Z, Y*X] -> packed [T, C, Z, Y*Xh]
+    holding only the parity-`parity` sites (x = 2*xh + (t+z+y+parity)%2)."""
+    T, C, Z, YX = field_k.shape
+    X = YX // Y
+    assert X % 2 == 0, f"x extent must be even to pack parities: {X}"
+    Xh = X // 2
+    f = field_k.reshape(T, C, Z, Y, Xh, 2)
+    off = jnp.asarray(_offsets_np(T, Z, Y, parity))         # [T, Z, Y]
+    idx = jnp.broadcast_to(off[:, None, :, :, None, None],
+                           (T, C, Z, Y, Xh, 1))
+    p = jnp.take_along_axis(f, idx, axis=-1)[..., 0]
+    return p.reshape(T, C, Z, Y * Xh)
+
+
+def unpack_parities(even_k: jnp.ndarray, odd_k: jnp.ndarray, Y: int
+                    ) -> jnp.ndarray:
+    """Packed (even, odd) [T, C, Z, Y*Xh] -> full [T, C, Z, Y*X]."""
+    T, C, Z, YXh = even_k.shape
+    Xh = YXh // Y
+    e = even_k.reshape(T, C, Z, Y, Xh)
+    o = odd_k.reshape(T, C, Z, Y, Xh)
+    off = jnp.asarray(_offsets_np(T, Z, Y, 0))[:, None, :, :, None]
+    off = jnp.broadcast_to(off, e.shape)
+    # even at slot off, odd at slot 1-off
+    slot0 = jnp.where(off == 0, e, o)
+    slot1 = jnp.where(off == 0, o, e)
+    full = jnp.stack([slot0, slot1], axis=-1)               # [...,Xh,2]
+    return full.reshape(T, C, Z, Y * 2 * Xh)
+
+
+def pack_parity_gauge(U_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
+    """[T, 4, 18, Z, Y*X] -> [T, 4, 18, Z, Y*Xh] links based at parity-p
+    sites (same packing rule as spinors, applied per direction)."""
+    T, MU, C, Z, YX = U_k.shape
+    return pack_parity(U_k.reshape(T, MU * C, Z, YX), Y, parity
+                       ).reshape(T, MU, C, Z, YX // 2)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
+                        combine_kappa2):
+    """Parity-restricted hop kernel body.
+
+    refs: pm, pc, pp (input-parity psi t-1/t/t+1), Uo (output-parity links,
+    centre), Ui (input-parity links, centre), Utm (input-parity t-links at
+    t-1), off (output-row offset mask), [pe (output-parity psi centre,
+    combine only)], out.
+
+    combine_kappa2 = None -> out = hop;
+    else out = pe - combine_kappa2 * hop (the fused Schur second pass).
+    """
+    YXh = Y * Xh
+    f32 = jnp.float32
+
+    def roll(a, shift, axis):
+        return pltpu.roll(a, shift % a.shape[axis], axis=axis)
+
+    def kernel(*refs):
+        if combine_kappa2 is None:
+            pm_ref, pc_ref, pp_ref, Uo_ref, Ui_ref, Utm_ref, off_ref, \
+                out_ref = refs
+            pe_ref = None
+        else:
+            pm_ref, pc_ref, pp_ref, Uo_ref, Ui_ref, Utm_ref, off_ref, \
+                pe_ref, out_ref = refs
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (Z, YXh), 1) % Xh
+        oo = off_ref[0, 0] > 0.5                     # [Z, YXh] bool
+
+        def xroll(a, sign):
+            """a at packed column xh+sign with x wrap inside the row."""
+            main = roll(a, -sign, axis=1)
+            wrapped = roll(a, sign * (Xh - 1), axis=1)
+            edge = (col == (Xh - 1 if sign > 0 else 0))
+            return jnp.where(edge, wrapped, main)
+
+        def x_fwd(a):
+            # neighbour x+1: packed col xh (oo=0) or xh+1 (oo=1)
+            return jnp.where(oo, xroll(a, +1), a)
+
+        def x_bwd(a):
+            # neighbour x-1: packed col xh-1 (oo=0) or xh (oo=1)
+            return jnp.where(oo, a, xroll(a, -1))
+
+        def pref(ref):
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c].astype(f32)
+
+        pm, pc, pp = pref(pm_ref), pref(pc_ref), pref(pp_ref)
+
+        def uo(mu, a, b, r):
+            return Uo_ref[0, mu, r * 9 + a * 3 + b].astype(f32)
+
+        def ui(mu, a, b, r):
+            return Ui_ref[0, mu, r * 9 + a * 3 + b].astype(f32)
+
+        def utm(a, b, r):
+            return Utm_ref[0, r * 9 + a * 3 + b].astype(f32)
+
+        acc = [[None] * 3 for _ in range(4)]
+
+        def add_acc(s, c, vr, vi):
+            if acc[s][c] is None:
+                acc[s][c] = (vr, vi)
+            else:
+                ar, ai = acc[s][c]
+                acc[s][c] = (ar + vr, ai + vi)
+
+        hop = partial(apply_hop, add_acc, dagger)
+
+        # ---- x: phase-masked packed shifts ----
+        hop(0, True,
+            get_psi=lambda s, c, r: x_fwd(pc(s, c, r)),
+            get_link=lambda a, b, r: uo(0, a, b, r))
+        hop(0, False,
+            get_psi=lambda s, c, r: x_bwd(pc(s, c, r)),
+            get_link=lambda a, b, r: (x_bwd(ui(0, b, a, r)) if r == 0
+                                      else -x_bwd(ui(0, b, a, r))))
+        # ---- y/z: packed column is invariant -> plain rolls ----
+        hop(1, True,
+            get_psi=lambda s, c, r: roll(pc(s, c, r), -Xh, axis=1),
+            get_link=lambda a, b, r: uo(1, a, b, r))
+        hop(1, False,
+            get_psi=lambda s, c, r: roll(pc(s, c, r), Xh, axis=1),
+            get_link=lambda a, b, r: (
+                roll(ui(1, b, a, r), Xh, axis=1) if r == 0
+                else -roll(ui(1, b, a, r), Xh, axis=1)))
+        hop(2, True,
+            get_psi=lambda s, c, r: roll(pc(s, c, r), -1, axis=0),
+            get_link=lambda a, b, r: uo(2, a, b, r))
+        hop(2, False,
+            get_psi=lambda s, c, r: roll(pc(s, c, r), 1, axis=0),
+            get_link=lambda a, b, r: (
+                roll(ui(2, b, a, r), 1, axis=0) if r == 0
+                else -roll(ui(2, b, a, r), 1, axis=0)))
+        # ---- t: pipelined neighbour blocks ----
+        hop(3, True,
+            get_psi=lambda s, c, r: pp(s, c, r),
+            get_link=lambda a, b, r: uo(3, a, b, r))
+        hop(3, False,
+            get_psi=lambda s, c, r: pm(s, c, r),
+            get_link=lambda a, b, r: (utm(b, a, r) if r == 0
+                                      else -utm(b, a, r)))
+
+        od = out_ref.dtype
+        for s in range(4):
+            for c in range(3):
+                hr, hi = acc[s][c]
+                if pe_ref is None:
+                    out_ref[0, s * 3 + c] = hr.astype(od)
+                    out_ref[0, 12 + s * 3 + c] = hi.astype(od)
+                else:
+                    er = pe_ref[0, s * 3 + c].astype(f32)
+                    ei = pe_ref[0, 12 + s * 3 + c].astype(f32)
+                    out_ref[0, s * 3 + c] = (
+                        er - combine_kappa2 * hr).astype(od)
+                    out_ref[0, 12 + s * 3 + c] = (
+                        ei - combine_kappa2 * hi).astype(od)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2"))
+def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
+                      dagger: bool = False, kappa2=None, psi_out=None):
+    """Hop from the input parity to the output parity on packed fields.
+
+    psi_in   [T, 24, Z, Y*Xh]  input-parity spinor
+    U_out    [T, 4, 18, Z, Y*Xh]  output-parity links
+    U_in     [T, 4, 18, Z, Y*Xh]  input-parity links
+    Ut_in    [T, 18, Z, Y*Xh]     = U_in[:, 3] (t-links pipeline view)
+    off_out  [T, 1, Z, Y*Xh]      output-row offset mask (offset_mask)
+    kappa2 (static) + psi_out: fused combine psi_out - kappa2 * hop.
+    Links may be bf16 (f32 in-kernel arithmetic).
+    """
+    T, _, Z, YXh = psi_in.shape
+    Xh = YXh // Y
+    kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2)
+
+    def ps(shape, tmap):
+        return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
+            len(shape) - 1), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        ps((1, 24, Z, YXh), lambda i: (i - 1) % T),
+        ps((1, 24, Z, YXh), lambda i: i),
+        ps((1, 24, Z, YXh), lambda i: (i + 1) % T),
+        ps((1, 4, 18, Z, YXh), lambda i: i),
+        ps((1, 4, 18, Z, YXh), lambda i: i),
+        ps((1, 18, Z, YXh), lambda i: (i - 1) % T),
+        ps((1, 1, Z, YXh), lambda i: i),
+    ]
+    args = [psi_in, psi_in, psi_in, U_out, U_in, Ut_in, off_out]
+    if kappa2 is not None:
+        in_specs.append(ps((1, 24, Z, YXh), lambda i: i))
+        args.append(psi_out)
+    return pallas_call_auto(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=ps((1, 24, Z, YXh), lambda i: i),
+        out_shape=jax.ShapeDtypeStruct(psi_in.shape, psi_in.dtype),
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# operator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SchurDiracKernelPacked:
+    """Even-even preconditioned Wilson on PACKED half-volume fields:
+    M_pc = 1 - kappa^2 D_eo D_oe on [T, 24, Z, Y*Xh] even-parity spinors.
+
+    The packed twin of dirac_kernel.SchurDiracKernel (which masks parities
+    on full-volume fields): identical spectrum/action on the even
+    subspace, half the arithmetic and traffic per apply.  Reference
+    semantics: QUDA_MATPC_EVEN_EVEN pc_solve (eigsolve_mugiq.cpp:169-181).
+
+    precision="bf16": links stored bfloat16, f32 arithmetic/spinors."""
+    U_k: jnp.ndarray          # FULL kernel-layout links [T, 4, 18, Z, Y*X]
+    kappa: float
+    Y: int
+    precision: str = "f32"
+
+    def __post_init__(self):
+        if self.precision == "bf16":
+            self.U_k = self.U_k.astype(jnp.bfloat16)
+        T, _, _, Z, YX = self.U_k.shape
+        Xh = YX // self.Y // 2
+        self.U_e = pack_parity_gauge(self.U_k, self.Y, 0)
+        self.U_o = pack_parity_gauge(self.U_k, self.Y, 1)
+        self.Ut_e = self.U_e[:, 3]
+        self.Ut_o = self.U_o[:, 3]
+        self.off_e = offset_mask(T, Z, self.Y, Xh, 0)
+        self.off_o = offset_mask(T, Z, self.Y, Xh, 1)
+
+    # packing helpers for even-parity fields
+    def pack_even(self, psi_k):
+        return pack_parity(psi_k, self.Y, 0)
+
+    def unpack_even(self, pe):
+        return unpack_parities(pe, jnp.zeros_like(pe), self.Y)
+
+    def _apply(self, pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, dagger):
+        d_oe = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=self.Y,
+                                 dagger=dagger)
+        return parity_hop_pallas(d_oe, U_e, U_o, Ut_o, off_e, Y=self.Y,
+                                 dagger=dagger,
+                                 kappa2=float(self.kappa) ** 2, psi_out=pe)
+
+    def M(self, pe):
+        return self._apply(pe, self.U_e, self.Ut_e, self.U_o, self.Ut_o,
+                           self.off_e, self.off_o, False)
+
+    def Mdag(self, pe):
+        return self._apply(pe, self.U_e, self.Ut_e, self.U_o, self.Ut_o,
+                           self.off_e, self.off_o, True)
+
+    def MdagM(self, pe):
+        return self.Mdag(self.M(pe))
+
+    def MMdag(self, pe):
+        return self.M(self.Mdag(pe))
+
+    def operator(self, which: EigOperator) -> Callable:
+        return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
+                EigOperator.MdagM: self.MdagM,
+                EigOperator.MMdag: self.MMdag}[which]
+
+    def operator_with_args(self, which: EigOperator):
+        """(fn, args) with the packed link/mask operands as explicit jit
+        arguments (keeps them out of the eigensolver-cycle HLO; see
+        WilsonDiracKernel.operator_with_args)."""
+        Y, k2 = self.Y, float(self.kappa) ** 2
+
+        def m(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, dagger):
+            d = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=Y,
+                                  dagger=dagger)
+            return parity_hop_pallas(d, U_e, U_o, Ut_o, off_e, Y=Y,
+                                     dagger=dagger, kappa2=k2, psi_out=pe)
+
+        fns = {
+            EigOperator.M: lambda p, *a: m(p, *a, False),
+            EigOperator.Mdag: lambda p, *a: m(p, *a, True),
+            EigOperator.MdagM: lambda p, *a: m(m(p, *a, False), *a, True),
+            EigOperator.MMdag: lambda p, *a: m(m(p, *a, True), *a, False),
+        }
+        return fns[which], (self.U_e, self.Ut_e, self.U_o, self.Ut_o,
+                            self.off_e, self.off_o)
+
+    @property
+    def field_shape(self):
+        T, _, _, Z, YX = self.U_k.shape
+        return (T, 24, Z, YX // 2)
+
+    @property
+    def dtype(self):
+        return jnp.float32

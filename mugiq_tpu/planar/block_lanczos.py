@@ -191,6 +191,8 @@ def block_lanczos_hermitian_realpair(
     traced arguments (see planar/lanczos._make_cycle) — matvec is called
     as matvec(v, *matvec_args).
     """
+    from .lanczos import normalize_which
+    which = normalize_which(which)
     b = block_size
     ax = re_im_axis
     m = (n_kr // b) * b

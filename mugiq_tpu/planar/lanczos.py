@@ -22,6 +22,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def normalize_which(which: str) -> str:
+    """Validate/normalize a spectrum selector for the Hermitian-PSD solvers.
+
+    The production Lanczos solvers serve the normal operators MdagM/MMdag,
+    whose spectrum is real and non-negative — magnitude ordering equals
+    value ordering, so SM==SR and LM==LR (reference spectrum menu:
+    QudaEigSpectrumType, consumed at eigsolve_mugiq.cpp:283-287).  SI/LI
+    (imaginary ordering) are meaningless for a real spectrum and anything
+    else is a typo: raise instead of silently computing the wrong end.
+    """
+    w = which.upper()
+    if w in ("SR", "SM"):
+        return "SR"
+    if w in ("LR", "LM"):
+        return "LR"
+    raise ValueError(
+        f"spectrum '{which}' unsupported by the Hermitian production "
+        f"eigensolver (PSD operator: use SR/SM or LR/LM; SI/LI need the "
+        f"Arnoldi path on a non-normal operator)")
+
+
 @dataclass
 class LanczosPlanarResult:
     evals: np.ndarray
@@ -230,6 +251,7 @@ def lanczos_hermitian_realpair(
     tunnelled TPU, which dwarfs the ~0.4 s restarts).  Only pass a cache
     that was created for the SAME matvec (same operator + shapes).
     """
+    which = normalize_which(which)
     shape = v0.shape
     ax = re_im_axis
     assert shape[ax] % 2 == 0

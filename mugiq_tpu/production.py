@@ -11,9 +11,10 @@ that actually run on this TPU backend:
 * momentum projection: real-matmul planar projection;
 * all complex-valued setup (gauge, phases) in numpy on host.
 
-Wilson only for now (the clover term's production port is pending); the
-measurement semantics (1/sigma weights, g5 output map, HDF5 schema) match
-the reference exactly as in the validation path.
+Wilson and Wilson-clover both run in production (the clover diagonal is
+fused into the pallas kernels); the measurement semantics (1/sigma
+weights, g5 output map, HDF5 schema) match the reference exactly as in
+the validation path.
 """
 
 from dataclasses import dataclass
@@ -131,7 +132,7 @@ def momentum_project_production(data, ph):
     cuBLAS GEMM, loop_mugiq.cpp:363-378) -- MXU work."""
     l, _, g, T, Z, Y, X = data.shape
     P = ph.shape[-1]
-    dr = jnp.transpose(data[:, 0], (0, 1, 2, 3, 4, 5)).reshape(l * g * T, Z * Y * X)
+    dr = data[:, 0].reshape(l * g * T, Z * Y * X)
     di = data[:, 1].reshape(l * g * T, Z * Y * X)
     phr = ph[0].reshape(Z * Y * X, P)
     phi_ = ph[1].reshape(Z * Y * X, P)
@@ -285,9 +286,9 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     @jax.jit
     def rayleigh(v, *args):
         w = base_fn(v, *args) * scale
-        num = jnp.sum(v * w)
-        den = jnp.sqrt(jnp.sum(v * v))
-        lam = num / den
+        # Rayleigh quotient <v,Mv>/<v,v> (reference computeEvals,
+        # eigsolve_mugiq.cpp:300-307)
+        lam = jnp.sum(v * w) / jnp.sum(v * v)
         r = jnp.sqrt(jnp.sum((lam * v - w) ** 2))
         return lam, r
 
@@ -323,7 +324,9 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     and the measurement propagates the sharding through XLA."""
     if use_mg:
         return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
-                                           mg, U_loop_np, keep_pos, seed)
+                                           mg, U_loop_np, keep_pos, seed,
+                                           mesh=mesh, autotune=autotune,
+                                           precision=precision)
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     res, evals, sigma, rs = compute_evecs_production(
@@ -419,10 +422,28 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     return data_mom, pos_np
 
 
+def rc_sharding(mesh, n_leading: int = 0):
+    """NamedSharding for rc [.., T, Z, Y, X, s, c, 2] fields: T on the 't'
+    mesh axis, Z on 'z' (if present)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    z = "z" if ("z" in mesh.shape and mesh.shape["z"] > 1) else None
+    return NamedSharding(
+        mesh, P(*((None,) * n_leading + ("t", z, None, None, None, None,
+                                         None))))
+
+
 def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
-                                U_loop_np, keep_pos, seed) -> ProductionResult:
+                                U_loop_np, keep_pos, seed, mesh=None,
+                                autotune: bool = False,
+                                precision: str = "f32") -> ProductionResult:
     """MG-deflated production loops: real-pair Galerkin hierarchy, coarse
-    eigensolve, recursive prolongation (the reference's computeCoarse path)."""
+    eigensolve, recursive prolongation (the reference's computeCoarse path).
+
+    mesh: shard the fine-volume MG phases — null-vector smoothing runs on
+    the sharded pallas operator and the Galerkin probe batch (the nc*ns
+    fine-volume probes, the MG memory hog at 32^3x64) is placed t/z-sharded
+    — and the measurement, like the non-MG path.  The coarse eigensolve
+    stays replicated (coarse volumes are small)."""
     from .mg.rc_mg import MGEnvRC
     from .planar.lanczos import lanczos_hermitian_realpair
     from .params import MGParam
@@ -432,10 +453,16 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     rc_op = build_rc_dirac(U_np, gauge, inv)
-    fast_op = build_kernel_dirac(U_np, gauge, inv)
+    fast_op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
+    if autotune and mesh is None:
+        with phase_timer("autotune"):
+            fast_op.tune()
+    if mesh is not None:
+        from .parallel.shard_op import ShardedWilsonKernel
+        fast_op = ShardedWilsonKernel.from_kernel_op(mesh, fast_op)
 
     with phase_timer("mg-setup"):
-        env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op)
+        env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh)
     coarse = env.coarsest_op
 
     rng = np.random.default_rng(seed)
@@ -456,7 +483,7 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     @jax.jit
     def rayleigh(v):
         w = coarse.MdagM(v) * scale
-        lam = jnp.sum(v * w) / jnp.sqrt(jnp.sum(v * v))
+        lam = jnp.sum(v * w) / jnp.sum(v * v)
         r = jnp.sqrt(jnp.sum((lam * v - w) ** 2))
         return lam, r
 
@@ -474,7 +501,8 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
 
     data_mom, pos_np = _measure_production(
         geom, loop_param, cp, evecs_pl, sigma,
-        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos)
+        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos,
+        mesh=mesh)
 
     return ProductionResult(
         evals=evals, sigma=sigma, resids=np.asarray(rs),

@@ -1,14 +1,18 @@
 """32^3x64 dslash variant sweep on the real chip — the HBM-spilling size.
 
-At 16^3x32 the chained working set stays VMEM-resident and the base
-BlockSpec kernel wins (CLAUDE.md).  Here U (610 MB f32) + psi (201 MB)
-cannot stay resident, so the t-window kernel's psi-refetch savings and
-bf16 links' traffic halving should matter.  Informs the autotune default.
+The full-width [Z, YX] kernels (base/win) cannot compile above ~256 lanes
+(YX=1024 here -> remote-compile HTTP 500), so this size runs on the
+y-blocked kernel family (tiles [Z, (by+2)*X] over a (T, Y/by) grid).  At
+32^3x64 U (610 MB f32) + psi (201 MB) cannot stay VMEM-resident, so bf16
+links' traffic halving should matter.  Informs the autotune default.
 
 Operands are threaded as jit ARGUMENTS (a closure would embed the 610 MB
-links as HLO constants and blow the tunnel's compile-request size: 413).
+links as HLO constants and blow the tunnel's compile-request size).
+
+Writes one JSON line per variant to artifacts/bench_dslash32.json.
 """
 
+import json
 import sys
 import time
 from functools import partial
@@ -24,6 +28,7 @@ FLOP = 1320
 N1, N2 = 10, 110
 
 _SUM = jax.jit(lambda a: jnp.sum(a * a))
+RESULTS = []
 
 
 def force(x):
@@ -48,6 +53,7 @@ def time_chain(f, psi, U, Ut, label, reps=4):
     except Exception as e:
         print(f"{label:28s}: FAILED {type(e).__name__}: {str(e)[:90]}",
               flush=True)
+        RESULTS.append({"variant": label, "status": "compile-failed"})
         return None
     pers = []
     for _ in range(reps):
@@ -59,6 +65,8 @@ def time_chain(f, psi, U, Ut, label, reps=4):
     gf = FLOP * vol / per / 1e9
     print(f"{label:28s}: {per*1e6:8.1f} us/apply  {gf:7.1f} GFLOP/s  "
           f"(spread {min(pers)*1e6:.1f}..{max(pers)*1e6:.1f})", flush=True)
+    RESULTS.append({"variant": label, "us_per_apply": round(per * 1e6, 1),
+                    "gflops": round(gf, 1)})
     return per
 
 
@@ -67,7 +75,6 @@ def main():
     from mugiq_tpu.profiling import enable_compilation_cache
     from mugiq_tpu.rc.host import gauge_rc
     import mugiq_tpu.pallas.dslash_kernel as dk
-    import mugiq_tpu.pallas.dslash_win_kernel as dwk
 
     enable_compilation_cache()
     print(f"backend: {jax.devices()}", flush=True)
@@ -84,16 +91,25 @@ def main():
     Ut_b = Ut_k.astype(jnp.bfloat16)
     force(psi); force(U_k); force(U_b)
 
-    time_chain(lambda p, u, ut: dk.dslash_hop_pallas(p, u, ut, Y=Y),
-               psi, U_k, Ut_k, "base f32")
-    time_chain(lambda p, u, ut: dwk.dslash_hop_pallas_win(p, u, ut, Y=Y, bt=2),
-               psi, U_k, Ut_k, "win f32 bt=2")
-    time_chain(lambda p, u, ut: dwk.dslash_hop_pallas_win(p, u, ut, Y=Y, bt=2),
-               psi, U_b, Ut_b, "win bf16-links bt=2")
-    time_chain(lambda p, u, ut: dwk.dslash_hop_pallas_win(p, u, ut, Y=Y, bt=4),
-               psi, U_b, Ut_b, "win bf16-links bt=4")
-    time_chain(lambda p, u, ut: dk.dslash_hop_pallas(p, u, ut, Y=Y),
-               psi, U_b, Ut_b, "base bf16-links")
+    for by in (2, 4, 8):
+        time_chain(lambda p, u, ut, b=by: dk.dslash_hop_pallas_yb(
+            p, u, ut, Y=Y, by=b), psi, U_k, Ut_k, f"yb{by} f32")
+    time_chain(lambda p, u, ut: dk.dslash_hop_pallas_yb(p, u, ut, Y=Y, by=4),
+               psi, U_b, Ut_b, "yb4 bf16-links")
+    time_chain(lambda p, u, ut: dk.dslash_hop_pallas_yb(p, u, ut, Y=Y, by=8),
+               psi, U_b, Ut_b, "yb8 bf16-links")
+    # fused M (the production operator's inner op)
+    A0 = jnp.zeros((1,), jnp.float32)
+    time_chain(lambda p, u, ut: dk.wilson_m_pallas_yb(
+        p, u, ut, A0, Y=Y, kappa=0.12, by=4), psi, U_k, Ut_k, "M yb4 f32")
+    time_chain(lambda p, u, ut: dk.wilson_m_pallas_yb(
+        p, u, ut, A0.astype(jnp.bfloat16), Y=Y, kappa=0.12, by=4),
+        psi, U_b, Ut_b, "M yb4 bf16-links")
+
+    with open("/root/repo/artifacts/bench_dslash32.json", "w") as f:
+        json.dump({"dims": DIMS, "flop_per_site": FLOP,
+                   "results": RESULTS}, f, indent=1)
+    print("wrote artifacts/bench_dslash32.json", flush=True)
 
 
 if __name__ == "__main__":
