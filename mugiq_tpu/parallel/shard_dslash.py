@@ -195,12 +195,128 @@ def _shard_map_kwargs():
     return {"check_vma": False}
 
 
+# ---------------------------------------------------------------------------
+# halo/compute overlap: interior t-slices have NO data dependence on the
+# ppermuted halos, so splitting the local stencil into an interior pass
+# (slices 1..Tl-2) and a 2-slice boundary pass lets XLA's latency-hiding
+# scheduler run the ICI transfer concurrently with the interior compute —
+# the reference's interior/boundary overlap in QUDA's dslash (SURVEY.md §7
+# hard-part 3).  Bit-exact with the fused form: same per-site arithmetic.
+# ---------------------------------------------------------------------------
+
+def _m_interior_call(psi_loc, U_loc, Ut_loc, A144, Y, kappa, dagger,
+                     has_clover, z_ext=False):
+    """M(dag) on interior output slices 1..Tl-2 (reads psi_loc only).
+
+    z_ext: arrays carry z-halo rows (2D mesh); the interior here is
+    interior-in-t only — z-halo reads stay in this pass (the z exchange is
+    cheap relative to the t-slice transfer and runs before both passes).
+    Returns [Tl-2, 24, Z(_loc), YX]."""
+    Tl = U_loc.shape[0]
+    Zp = psi_loc.shape[2]
+    Zl = Zp - 2 if z_ext else Zp
+    YX = psi_loc.shape[3]
+    X = YX // Y
+    if kappa is None:
+        kernel = _make_kernel(Zl, Y, X, dagger=dagger, z_ext=z_ext)
+    else:
+        kernel = _make_m_kernel(Zl, Y, X, kappa, dagger, has_clover,
+                                z_ext=z_ext)
+
+    def bs(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bs((1, 24, Zp, YX), lambda i: (i, 0, 0, 0)),        # pm (t = i)
+        bs((1, 24, Zp, YX), lambda i: (i + 1, 0, 0, 0)),    # pc
+        bs((1, 24, Zp, YX), lambda i: (i + 2, 0, 0, 0)),    # pp
+        bs((1, 4, 18, U_loc.shape[3], YX),
+           lambda i: (i + 1, 0, 0, 0, 0)),                  # U at t
+        bs((1, 18, Ut_loc.shape[2], YX), lambda i: (i, 0, 0, 0)),  # Ut(t-1)
+    ]
+    args = [psi_loc, psi_loc, psi_loc, U_loc, Ut_loc]
+    if kappa is not None and has_clover:
+        in_specs.append(bs((1, 144, Zl, YX), lambda i: (i + 1, 0, 0, 0)))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl - 2,),
+        in_specs=in_specs,
+        out_specs=bs((1, 24, Zl, YX), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tl - 2, 24, Zl, YX), psi_loc.dtype),
+    )(*args)
+
+
+def _m_boundary_call(psi_loc, halo_prev, halo_next, U_loc, Ut_loc, ut_prev,
+                     A144, Y, kappa, dagger, has_clover, z_ext=False):
+    """M(dag) on the two t-boundary output slices {0, Tl-1} (consumes the
+    ppermuted halos).  Returns [2, 24, Z(_loc), YX]."""
+    Tl = U_loc.shape[0]
+    Zp = psi_loc.shape[2]
+    Zl = Zp - 2 if z_ext else Zp
+    YX = psi_loc.shape[3]
+    X = YX // Y
+    if kappa is None:
+        kernel = _make_kernel(Zl, Y, X, dagger=dagger, z_ext=z_ext)
+    else:
+        kernel = _make_m_kernel(Zl, Y, X, kappa, dagger, has_clover,
+                                z_ext=z_ext)
+
+    # 6 rows: [halo_prev, p0, p1, p_{Tl-2}, p_{Tl-1}, halo_next]
+    psi_bnd = jnp.concatenate(
+        [halo_prev, psi_loc[:1], psi_loc[1:2],
+         psi_loc[Tl - 2:Tl - 1], psi_loc[-1:], halo_next], axis=0)
+    U_bnd = jnp.concatenate([U_loc[:1], U_loc[-1:]], axis=0)
+    ut_bnd = jnp.concatenate([ut_prev, Ut_loc[Tl - 2:Tl - 1]], axis=0)
+
+    def bs(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bs((1, 24, Zp, YX), lambda j: (3 * j, 0, 0, 0)),
+        bs((1, 24, Zp, YX), lambda j: (3 * j + 1, 0, 0, 0)),
+        bs((1, 24, Zp, YX), lambda j: (3 * j + 2, 0, 0, 0)),
+        bs((1, 4, 18, U_bnd.shape[3], YX), lambda j: (j, 0, 0, 0, 0)),
+        bs((1, 18, ut_bnd.shape[2], YX), lambda j: (j, 0, 0, 0)),
+    ]
+    args = [psi_bnd, psi_bnd, psi_bnd, U_bnd, ut_bnd]
+    if kappa is not None and has_clover:
+        A_bnd = jnp.concatenate([A144[:1], A144[-1:]], axis=0)
+        in_specs.append(bs((1, 144, Zl, YX), lambda j: (j, 0, 0, 0)))
+        args.append(A_bnd)
+    return pallas_call_auto(
+        kernel,
+        grid=(2,),
+        in_specs=in_specs,
+        out_specs=bs((1, 24, Zl, YX), lambda j: (j, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, 24, Zl, YX), psi_loc.dtype),
+    )(*args)
+
+
+def _overlap_apply(psi_loc, halo_prev, halo_next, U_loc, Ut_loc, ut_prev,
+                   A144, Y, kappa, dagger, has_clover, z_ext=False):
+    """Interior/boundary-split local M(dag) or hop (kappa=None)."""
+    Tl = U_loc.shape[0]
+    bnd = _m_boundary_call(psi_loc, halo_prev, halo_next, U_loc, Ut_loc,
+                           ut_prev, A144, Y, kappa, dagger, has_clover,
+                           z_ext=z_ext)
+    if Tl <= 2:
+        return bnd[:Tl]
+    interior = _m_interior_call(psi_loc, U_loc, Ut_loc, A144, Y, kappa,
+                                dagger, has_clover, z_ext=z_ext)
+    return jnp.concatenate([bnd[:1], interior, bnd[1:]], axis=0)
+
+
 def make_sharded_wilson_m(mesh: Mesh, Y: int, kappa: float,
-                          dagger: bool = False, has_clover: bool = False):
+                          dagger: bool = False, has_clover: bool = False,
+                          overlap: bool = True):
     """Fused sharded M(dag)(psi_k, U_k, Ut_k, A144) over a 1D 't' mesh:
-    one ppermute halo exchange + ONE pallas pass (hop + clover diagonal +
-    kappa combine all in-kernel).  Closes the round-1 gap where the sharded
-    operator applied clover as separate unrolled XLA."""
+    ppermute halo exchange + pallas stencil (hop + clover diagonal + kappa
+    combine all in-kernel).
+
+    overlap=True (default): interior/boundary split so the halo transfer
+    overlaps interior compute (see _overlap_apply); bit-exact with the
+    fused single-pass form."""
     nt = mesh.shape["t"]
     fwd = [(i, (i + 1) % nt) for i in range(nt)]
     bwd = [(i, (i - 1) % nt) for i in range(nt)]
@@ -208,8 +324,12 @@ def make_sharded_wilson_m(mesh: Mesh, Y: int, kappa: float,
     def body(psi_loc, U_loc, Ut_loc, A_loc):
         halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=fwd)
         halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=bwd)
-        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
         ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=fwd)
+        if overlap and psi_loc.shape[0] >= 2:
+            return _overlap_apply(psi_loc, halo_prev, halo_next, U_loc,
+                                  Ut_loc, ut_prev, A_loc, Y, kappa, dagger,
+                                  has_clover)
+        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
         ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
         return wilson_m_pallas_ext(psi_ext, U_loc, ut_shift, A_loc, Y=Y,
                                    kappa=kappa, dagger=dagger,
@@ -225,9 +345,14 @@ def make_sharded_wilson_m(mesh: Mesh, Y: int, kappa: float,
 
 
 def make_sharded_wilson_m_2d(mesh: Mesh, Y: int, kappa: float,
-                             dagger: bool = False, has_clover: bool = False):
+                             dagger: bool = False, has_clover: bool = False,
+                             overlap: bool = True):
     """Fused sharded M(dag) over a 2D ('t', 'z') mesh (see
-    make_sharded_wilson_m)."""
+    make_sharded_wilson_m).
+
+    overlap=True: the z exchange runs first (one row per side), then the
+    t-slice transfer — the large message — overlaps the interior-in-t
+    compute via the interior/boundary split."""
     nt = mesh.shape["t"]
     nz = mesh.shape["z"]
     t_fwd = [(i, (i + 1) % nt) for i in range(nt)]
@@ -244,6 +369,18 @@ def make_sharded_wilson_m_2d(mesh: Mesh, Y: int, kappa: float,
         return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
 
     def body(psi_loc, U_loc, Ut_loc, A_loc):
+        if overlap and psi_loc.shape[0] >= 2:
+            # z-exchange first; t-halos of the z-extended slices carry the
+            # corner rows (same values as t-extend-then-z-exchange)
+            psi_z = zext(psi_loc, axis=2)
+            U_ext = zext(U_loc, axis=3)
+            ut_pad = jnp.pad(Ut_loc, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            halo_prev = jax.lax.ppermute(psi_z[-1:], "t", perm=t_fwd)
+            halo_next = jax.lax.ppermute(psi_z[:1], "t", perm=t_bwd)
+            ut_prev = jax.lax.ppermute(ut_pad[-1:], "t", perm=t_fwd)
+            return _overlap_apply(psi_z, halo_prev, halo_next, U_ext,
+                                  ut_pad, ut_prev, A_loc, Y, kappa, dagger,
+                                  has_clover, z_ext=True)
         halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=t_fwd)
         halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=t_bwd)
         psi_t = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
@@ -268,11 +405,13 @@ def make_sharded_wilson_m_2d(mesh: Mesh, Y: int, kappa: float,
     return jax.jit(sharded)
 
 
-def make_sharded_dslash_2d(mesh: Mesh, Y: int, dagger: bool = False):
+def make_sharded_dslash_2d(mesh: Mesh, Y: int, dagger: bool = False,
+                           overlap: bool = True):
     """dslash over a 2D ('t', 'z') mesh: explicit ppermute halos in both
     sharded directions (the reference's 4D domain decomposition restricted
     to the two leading lattice axes), pallas stencil on the extended local
-    block.  Kernel arrays are [T, 24, Z, YX] sharded on axes 0 and 2."""
+    block.  Kernel arrays are [T, 24, Z, YX] sharded on axes 0 and 2.
+    overlap: see make_sharded_wilson_m_2d."""
     nt = mesh.shape["t"]
     nz = mesh.shape["z"]
     t_fwd = [(i, (i + 1) % nt) for i in range(nt)]
@@ -290,6 +429,16 @@ def make_sharded_dslash_2d(mesh: Mesh, Y: int, dagger: bool = False):
         return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
 
     def body(psi_loc, U_loc, Ut_loc):
+        if overlap and psi_loc.shape[0] >= 2:
+            psi_z = zext(psi_loc, axis=2)
+            U_ext = zext(U_loc, axis=3)
+            ut_pad = jnp.pad(Ut_loc, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            halo_prev = jax.lax.ppermute(psi_z[-1:], "t", perm=t_fwd)
+            halo_next = jax.lax.ppermute(psi_z[:1], "t", perm=t_bwd)
+            ut_prev = jax.lax.ppermute(ut_pad[-1:], "t", perm=t_fwd)
+            return _overlap_apply(psi_z, halo_prev, halo_next, U_ext,
+                                  ut_pad, ut_prev, None, Y, None, dagger,
+                                  False, z_ext=True)
         # t halos first (z-exchange of the t-extended array then carries
         # the correct corner rows from the matching t-extension of the
         # z-neighbour)
@@ -322,10 +471,12 @@ def shard_kernel_fields_2d(mesh: Mesh, psi_k, U_k, Ut_k):
             jax.device_put(Ut_k, s_psi))
 
 
-def make_sharded_dslash(mesh: Mesh, Y: int, dagger: bool = False):
+def make_sharded_dslash(mesh: Mesh, Y: int, dagger: bool = False,
+                        overlap: bool = True):
     """Returns dslash(psi_k, U_k, Ut_k) over t-sharded kernel-layout arrays.
 
     mesh must have a 't' axis; arrays are [T, ...] sharded on axis 0.
+    overlap: see make_sharded_wilson_m.
     """
     nt = mesh.shape["t"]
     fwd = [(i, (i + 1) % nt) for i in range(nt)]
@@ -336,9 +487,13 @@ def make_sharded_dslash(mesh: Mesh, Y: int, dagger: bool = False):
         halo_prev = jax.lax.ppermute(psi_loc[-1:], "t", perm=fwd)
         # halo_from_next = next device's first slice = psi(t_end + 1)
         halo_next = jax.lax.ppermute(psi_loc[:1], "t", perm=bwd)
-        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
         # U_t at global t-1 per local slice: previous device's last t-link
         ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=fwd)
+        if overlap and psi_loc.shape[0] >= 2:
+            return _overlap_apply(psi_loc, halo_prev, halo_next, U_loc,
+                                  Ut_loc, ut_prev, None, Y, None, dagger,
+                                  False)
+        psi_ext = jnp.concatenate([halo_prev, psi_loc, halo_next], axis=0)
         ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
         return dslash_hop_pallas_ext(psi_ext, U_loc, ut_shift, Y=Y,
                                      dagger=dagger)
