@@ -74,6 +74,34 @@ def add_eig_args(p: argparse.ArgumentParser):
                         "(checkpoint resume)")
 
 
+def add_parallel_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group(
+        "parallel (the reference's --gridsize / initComms, "
+        "tests/eigensolve.cpp:683)")
+    g.add_argument("--mesh", type=int, nargs="+", default=None, metavar="N",
+                   help="device mesh shape over the (t[, z[, y]]) lattice "
+                        "axes, e.g. --mesh 4 2; default: single device")
+    g.add_argument("--dist-coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator "
+                        "(multi-host; omit under a TPU pod launcher that "
+                        "auto-detects)")
+    g.add_argument("--dist-num-processes", type=int, default=None)
+    g.add_argument("--dist-process-id", type=int, default=None)
+
+
+def build_mesh(args):
+    """Initialize multi-host (if requested) and build the device mesh."""
+    if getattr(args, "dist_coordinator", None) or \
+            getattr(args, "dist_num_processes", None):
+        from ..parallel.distributed import init_distributed
+        init_distributed(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
+    if getattr(args, "mesh", None) is None:
+        return None
+    from ..parallel.mesh import make_lattice_mesh
+    return make_lattice_mesh(tuple(args.mesh))
+
+
 def add_mg_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("multigrid")
     g.add_argument("--mugiq-use-mg", choices=["yes", "no"], default="no")

@@ -9,8 +9,9 @@ import sys
 import time
 
 from .common import (add_dirac_args, add_eig_args, add_lattice_args,
-                     add_mg_args, build_mg_param, build_params,
-                     load_gauge_from_args, setup_jax)
+                     add_mg_args, add_parallel_args, build_mesh,
+                     build_mg_param, build_params, load_gauge_from_args,
+                     setup_jax)
 
 
 def main(argv=None):
@@ -22,6 +23,7 @@ def main(argv=None):
     add_dirac_args(p)
     add_eig_args(p)
     add_mg_args(p)
+    add_parallel_args(p)
     p.add_argument("--production", action="store_true",
                    help="run the TPU production path (real-pair/pallas "
                         "kernel-layout eigensolve, f32) instead of the "
@@ -64,7 +66,7 @@ def main(argv=None):
         t0 = time.time()
         res, evals, sigma, resids = compute_evecs_production(
             np.asarray(U), gp, ip, ep, autotune=args.autotune,
-            precision=args.link_precision)
+            precision=args.link_precision, mesh=build_mesh(args))
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")

@@ -10,8 +10,9 @@ import sys
 import time
 
 from .common import (add_dirac_args, add_eig_args, add_lattice_args,
-                     add_mg_args, build_mg_param, build_params,
-                     load_gauge_from_args, read_momenta_file, setup_jax)
+                     add_mg_args, add_parallel_args, build_mesh,
+                     build_mg_param, build_params, load_gauge_from_args,
+                     read_momenta_file, setup_jax)
 
 
 def main(argv=None):
@@ -23,6 +24,7 @@ def main(argv=None):
     add_dirac_args(p)
     add_eig_args(p)
     add_mg_args(p)
+    add_parallel_args(p)
     g = p.add_argument_group("loop")
     g.add_argument("--momenta-filename", default="",
                    help="file with 'px py pz' per line; default p=0 only")
@@ -102,7 +104,7 @@ def main(argv=None):
         res = compute_loop_production(
             U, gp, ip, ep, lp,
             U_loop_np=U_loop, autotune=args.autotune,
-            precision=args.link_precision,
+            precision=args.link_precision, mesh=build_mesh(args),
             use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
         for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")

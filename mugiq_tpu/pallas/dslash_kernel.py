@@ -223,7 +223,7 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
 
 
 def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
-                 z_ext: bool = False):
+                 z_ext: bool = False, y_ext: bool = False):
     """BlockSpec-pipelined kernel (one t-slice per grid step).
 
     z_ext=True: input blocks carry one halo row on each side of the z axis
@@ -232,12 +232,19 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
     the interior rows are written out.  The two wrapped edge rows of a roll
     land in the halo rows, which are never written.
 
+    y_ext=True: input blocks additionally carry one halo y-ROW (X lanes) on
+    each side of the fused y*x axis (sharded-y operation, 3D mesh).  The
+    stencil body treats them as two extra y rows — x-wraps stay row-local,
+    y-rolls read them for the interior — and the store skips them.
+
     Inputs may be bf16 (QUDA's half-precision analog): every load is upcast
     to f32, all arithmetic is f32, the store casts to the output dtype.
     """
     Zc = Z + 2 if z_ext else Z
-    compute = make_slice_compute(Zc, Y, X, dagger=dagger)
+    Yc = Y + 2 if y_ext else Y
+    compute = make_slice_compute(Zc, Yc, X, dagger=dagger)
     sl = slice(1, Z + 1) if z_ext else slice(None)
+    sly = slice(X, -X) if y_ext else slice(None)
     f32 = jnp.float32
 
     def kernel(pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, out_ref):
@@ -247,8 +254,8 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
         od = out_ref.dtype
 
         def write(s, c, ar, ai):
-            out_ref[0, s * 3 + c] = ar[sl].astype(od)
-            out_ref[0, 12 + s * 3 + c] = ai[sl].astype(od)
+            out_ref[0, s * 3 + c] = ar[sl, sly].astype(od)
+            out_ref[0, 12 + s * 3 + c] = ai[sl, sly].astype(od)
 
         compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
                 lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b
@@ -260,7 +267,7 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
 
 
 def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
-                   clover: bool, z_ext: bool = False):
+                   clover: bool, z_ext: bool = False, y_ext: bool = False):
     """Fused full-operator kernel: out = A psi - kappa * hop(psi)
     (A = 1 without clover).  The clover matrix arrives as chiral 6x6 blocks
     flattened to 144 components: idx = ((chi*6 + k)*6 + j)*2 + r.
@@ -268,13 +275,16 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
     z_ext=True: spinor/gauge input blocks carry one z-halo row each side
     (sharded-z operation, see shard_dslash); the clover block carries only
     the Z interior rows (it is site-local), and only interior rows are
-    written.
+    written.  y_ext=True: one y-halo row (X lanes) each side of the fused
+    axis (see _make_kernel).
 
     Inputs may be bf16: loads upcast to f32, f32 arithmetic, store casts to
     the output dtype."""
     Zc = Z + 2 if z_ext else Z
-    compute = make_slice_compute(Zc, Y, X, dagger=dagger)
+    Yc = Y + 2 if y_ext else Y
+    compute = make_slice_compute(Zc, Yc, X, dagger=dagger)
     sl = slice(1, Z + 1) if z_ext else slice(None)
+    sly = slice(X, -X) if y_ext else slice(None)
     f32 = jnp.float32
 
     def kernel(*refs):
@@ -301,11 +311,11 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
 
         # diagonal + combine on interior rows only
         od = out_ref.dtype
-        pc = lambda s, c, r: pref(pc_ref)(s, c, r)[sl]
+        pc = lambda s, c, r: pref(pc_ref)(s, c, r)[sl, sly]
         for s in range(4):
             for c in range(3):
                 hr, hi = hop[(s, c)]
-                hr, hi = hr[sl], hi[sl]
+                hr, hi = hr[sl, sly], hi[sl, sly]
                 if A_ref is None:
                     dr = pc(s, c, 0)
                     di = pc(s, c, 1)

@@ -19,23 +19,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 #: mesh axis names, in array-axis order for a [T, Z, ...] field
 AXES = ("t", "z")
+#: 3D decomposition (t, z, y) — y shards the fused y*x kernel axis
+AXES3 = ("t", "z", "y")
 
 
-def make_lattice_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
+def make_lattice_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
                       devices=None) -> Mesh:
-    """Mesh over (t, z) lattice axes.
+    """Mesh over (t, z[, y]) lattice axes.
 
     With ``mesh_shape=None`` all local devices go on the t axis (the
-    reference's common --gridsize 1 1 1 N layout).
+    reference's common --gridsize 1 1 1 N layout).  A length-3 shape adds
+    the y axis (the reference partitions all four dims,
+    /root/reference/tests/eigensolve.cpp:683; x stays local here — it is
+    the vector lane direction).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_shape is None:
         mesh_shape = (n, 1)
-    need = mesh_shape[0] * mesh_shape[1]
+    need = int(np.prod(mesh_shape))
     assert need <= n, (mesh_shape, n)
     dev_array = np.asarray(devices[:need]).reshape(mesh_shape)
-    return Mesh(dev_array, AXES)
+    return Mesh(dev_array, AXES3 if len(mesh_shape) == 3 else AXES)
 
 
 def spinor_spec() -> P:

@@ -195,6 +195,113 @@ def _shard_map_kwargs():
     return {"check_vma": False}
 
 
+@partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover"))
+def _pallas_ext3(psi_ext, U_ext, Ut_ext, A144, Y: int, kappa,
+                 dagger: bool = False, has_clover: bool = False):
+    """Local M(dag) (or hop, kappa=None) from a (t, z, y)-halo-extended
+    spinor — the 3D-mesh local stencil.
+
+    psi_ext [Tl+2, 24, Zl+2, (Yl+2)*X]; U_ext [Tl, 4, 18, Zl+2, (Yl+2)*X]
+    (real z/y link halos); Ut_ext like psi's trailing dims, z/y halo rows
+    zero; A144 interior only [Tl, 144, Zl, Yl*X].  Y here is the LOCAL
+    interior y extent Yl."""
+    from ..pallas.dslash_kernel import _make_kernel as mk
+    from ..pallas.dslash_kernel import _make_m_kernel as mkm
+
+    Tl = U_ext.shape[0]
+    Zp = psi_ext.shape[2]
+    Zl = Zp - 2
+    YXp = psi_ext.shape[3]
+    X = YXp // (Y + 2)
+    YXl = Y * X
+    if kappa is None:
+        kernel = mk(Zl, Y, X, dagger=dagger, z_ext=True, y_ext=True)
+    else:
+        kernel = mkm(Zl, Y, X, kappa, dagger, has_clover, z_ext=True,
+                     y_ext=True)
+
+    def bs(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bs((1, 24, Zp, YXp), lambda i: (i, 0, 0, 0)),
+        bs((1, 24, Zp, YXp), lambda i: (i + 1, 0, 0, 0)),
+        bs((1, 24, Zp, YXp), lambda i: (i + 2, 0, 0, 0)),
+        bs((1, 4, 18, Zp, YXp), lambda i: (i, 0, 0, 0, 0)),
+        bs((1, 18, Zp, YXp), lambda i: (i, 0, 0, 0)),
+    ]
+    args = [psi_ext, psi_ext, psi_ext, U_ext, Ut_ext]
+    if kappa is not None and has_clover:
+        in_specs.append(bs((1, 144, Zl, YXl), lambda i: (i, 0, 0, 0)))
+        args.append(A144)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=in_specs,
+        out_specs=bs((1, 24, Zl, YXl), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YXl), psi_ext.dtype),
+    )(*args)
+
+
+def make_sharded_wilson_3d(mesh: Mesh, Y: int, X: int, kappa,
+                           dagger: bool = False, has_clover: bool = False):
+    """M(dag) (or hop, kappa=None) over a 3D ('t', 'z', 'y') mesh — three
+    of the reference's four partitioned dimensions
+    (/root/reference/tests/eigensolve.cpp:683 --gridsize,
+    /root/reference/include/contract_util.cuh:89 comm_dim_partitioned).
+
+    Kernel arrays [T, 24, Z, Y*X] shard t on axis 0, z on axis 2 and the
+    y-major fused axis on 'y' (contiguous (Y/ny)*X-lane chunks).  Halos:
+    one X-lane y-row, one z-row, one t-slice per side (ppermuted in y -> z
+    -> t order so corners ride the later exchanges).  Y/X are the GLOBAL
+    y/x extents."""
+    nt, nz, ny = mesh.shape["t"], mesh.shape["z"], mesh.shape["y"]
+    t_fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    t_bwd = [(i, (i - 1) % nt) for i in range(nt)]
+    z_fwd = [(i, (i + 1) % nz) for i in range(nz)]
+    z_bwd = [(i, (i - 1) % nz) for i in range(nz)]
+    y_fwd = [(i, (i + 1) % ny) for i in range(ny)]
+    y_bwd = [(i, (i - 1) % ny) for i in range(ny)]
+    Yl = Y // ny
+
+    def ext(a, axis, width, name, fwd, bwd):
+        n = a.shape[axis]
+        last = jax.lax.slice_in_dim(a, n - width, n, axis=axis)
+        first = jax.lax.slice_in_dim(a, 0, width, axis=axis)
+        halo_prev = jax.lax.ppermute(last, name, perm=fwd)
+        halo_next = jax.lax.ppermute(first, name, perm=bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
+
+    def body(psi_loc, U_loc, Ut_loc, A_loc):
+        # y first (X lanes), then z (rows, carrying y-corners), then t
+        psi_y = ext(psi_loc, 3, X, "y", y_fwd, y_bwd)
+        psi_zy = ext(psi_y, 2, 1, "z", z_fwd, z_bwd)
+        halo_prev = jax.lax.ppermute(psi_zy[-1:], "t", perm=t_fwd)
+        halo_next = jax.lax.ppermute(psi_zy[:1], "t", perm=t_bwd)
+        psi_ext = jnp.concatenate([halo_prev, psi_zy, halo_next], axis=0)
+
+        U_y = ext(U_loc, 4, X, "y", y_fwd, y_bwd)
+        U_ext = ext(U_y, 3, 1, "z", z_fwd, z_bwd)
+
+        ut_prev = jax.lax.ppermute(Ut_loc[-1:], "t", perm=t_fwd)
+        ut_shift = jnp.concatenate([ut_prev, Ut_loc[:-1]], axis=0)
+        ut_ext = jnp.pad(ut_shift, ((0, 0), (0, 0), (1, 1), (X, X)))
+        return _pallas_ext3(psi_ext, U_ext, ut_ext, A_loc, Y=Yl,
+                            kappa=kappa, dagger=dagger,
+                            has_clover=has_clover)
+
+    spec = P("t", None, "z", "y")
+    a_spec = (P("t", None, "z", "y") if (kappa is not None and has_clover)
+              else P("t", None, None, None))
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, P("t", None, None, "z", "y"), spec, a_spec),
+        out_specs=spec,
+        **_shard_map_kwargs(),
+    )
+    return jax.jit(sharded)
+
+
 # ---------------------------------------------------------------------------
 # halo/compute overlap: interior t-slices have NO data dependence on the
 # ppermuted halos, so splitting the local stencil into an interior pass

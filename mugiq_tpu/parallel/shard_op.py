@@ -33,17 +33,23 @@ def _is_2d(mesh: Mesh) -> bool:
     return "z" in mesh.shape and mesh.shape["z"] > 1
 
 
+def _is_3d(mesh: Mesh) -> bool:
+    return "y" in mesh.shape and mesh.shape["y"] > 1
+
+
 def spinor_sharding(mesh: Mesh, n_leading: int = 0) -> NamedSharding:
     """Sharding for kernel-layout [T, 24, Z, YX] fields (optionally with
     ``n_leading`` replicated batch axes, e.g. the Krylov basis index)."""
-    spec = ("t", None, "z", None) if _is_2d(mesh) else ("t", None, None, None)
+    z = "z" if _is_2d(mesh) else None
+    y = "y" if _is_3d(mesh) else None
+    spec = ("t", None, z, y)
     return NamedSharding(mesh, P(*((None,) * n_leading + spec)))
 
 
 def gauge_sharding(mesh: Mesh) -> NamedSharding:
-    spec = (("t", None, None, "z", None) if _is_2d(mesh)
-            else ("t", None, None, None, None))
-    return NamedSharding(mesh, P(*spec))
+    z = "z" if _is_2d(mesh) else None
+    y = "y" if _is_3d(mesh) else None
+    return NamedSharding(mesh, P("t", None, None, z, y))
 
 
 def krylov_sharding(mesh: Mesh) -> NamedSharding:
@@ -53,9 +59,9 @@ def krylov_sharding(mesh: Mesh) -> NamedSharding:
 
 def clover_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for clover chiral blocks [T, 2, 6, 6, 2, Z, YX]."""
-    spec = (("t", None, None, None, None, "z", None) if _is_2d(mesh)
-            else ("t", None, None, None, None, None, None))
-    return NamedSharding(mesh, P(*spec))
+    z = "z" if _is_2d(mesh) else None
+    y = "y" if _is_3d(mesh) else None
+    return NamedSharding(mesh, P("t", None, None, None, None, z, y))
 
 
 @dataclass
@@ -74,13 +80,11 @@ class ShardedWilsonKernel:
 
     def __post_init__(self):
         from ..pallas.dslash_kernel import pack_clover_kernel144
+        from .shard_dslash import make_sharded_wilson_3d
 
         is2d = _is_2d(self.mesh)
-        mk_hop = make_sharded_dslash_2d if is2d else make_sharded_dslash
-        self._hop = mk_hop(self.mesh, self.Y)
-        self._hop_dag = mk_hop(self.mesh, self.Y, dagger=True)
+        is3d = _is_3d(self.mesh)
         self.Ut_k = self.U_k[:, 3]
-        # fused M/Mdag: one pallas pass (hop + clover diagonal + combine)
         has_c = self.A_blocks is not None
         if has_c:
             self._A144 = pack_clover_kernel144(self.A_blocks)
@@ -90,6 +94,21 @@ class ShardedWilsonKernel:
             self._A144 = jax.device_put(
                 jnp.zeros((T, 1, 1, 1), self.U_k.dtype),
                 NamedSharding(self.mesh, P("t", None, None, None)))
+        if is3d:
+            X = self.U_k.shape[-1] // self.Y
+            self._hop = make_sharded_wilson_3d(self.mesh, self.Y, X, None)
+            self._hop_dag = make_sharded_wilson_3d(self.mesh, self.Y, X,
+                                                   None, dagger=True)
+            self._m = make_sharded_wilson_3d(self.mesh, self.Y, X,
+                                             self.kappa, has_clover=has_c)
+            self._mdag = make_sharded_wilson_3d(self.mesh, self.Y, X,
+                                                self.kappa, dagger=True,
+                                                has_clover=has_c)
+            return
+        mk_hop = make_sharded_dslash_2d if is2d else make_sharded_dslash
+        self._hop = mk_hop(self.mesh, self.Y)
+        self._hop_dag = mk_hop(self.mesh, self.Y, dagger=True)
+        # fused M/Mdag: one pallas pass (hop + clover diagonal + combine)
         mk_m = make_sharded_wilson_m_2d if is2d else make_sharded_wilson_m
         self._m = mk_m(self.mesh, self.Y, self.kappa, has_clover=has_c)
         self._mdag = mk_m(self.mesh, self.Y, self.kappa, dagger=True,
