@@ -106,12 +106,60 @@ def main():
     sol = V5E_HBM_GBS * 1e9 / BYTES_PER_SITE * FLOP_PER_SITE / 1e9
     print(f"dslash: {per_op*1e6:.1f} us/apply on {DIMS} "
           f"({vol} sites), SOL={sol:.0f} GFLOP/s", file=sys.stderr)
+
+    # second metric: warm eigensolve restart wall-clock (production TRLM,
+    # kernel layout, nKr=48 — the 0.127 s/restart claim in PARITY.md),
+    # written to artifacts/bench_eig.json so the claim is reproducible from
+    # committed artifacts (stdout stays the driver's single JSON line).
+    try:
+        eig = _bench_eig_restart(U_k, psi_k, Y)
+        print(f"eigensolve: {eig['value']:.3f} s/restart (nKr=48, warm)",
+              file=sys.stderr)
+        import os
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_eig.json", "w") as f:
+            json.dump(eig, f)
+    except Exception as e:   # never let the secondary metric kill the bench
+        print(f"bench: eig-restart metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "wilson_dslash_throughput",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / sol, 4),
     }))
+
+
+def _bench_eig_restart(U_k, psi_k, Y, n_kr=48, n_ev=16):
+    """Warm per-restart wall-clock of the production Lanczos at DIMS.
+
+    Chain-length differencing at the restart level: the same warm
+    compile_cache serves a 2-restart and a 12-restart solve (tol=0 so it
+    never converges early); the difference isolates 10 steady restarts."""
+    from mugiq_tpu.pallas.dirac_kernel import WilsonDiracKernel
+    from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+
+    op = WilsonDiracKernel(U_k=U_k, kappa=0.12, Y=Y)
+    fn, args = op.operator_with_args(__import__(
+        "mugiq_tpu.params", fromlist=["EigOperator"]).EigOperator.MdagM)
+    cache = {}
+
+    def run(r):
+        return lanczos_hermitian_realpair(
+            fn, psi_k, n_ev=n_ev, n_kr=n_kr, re_im_axis=1, tol=1e-30,
+            max_restarts=r, which="SR", check_interval=100,
+            matvec_args=args, compile_cache=cache)
+
+    run(2)                                   # compile + warm
+    t0 = time.perf_counter(); run(2); t2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(12); t12 = time.perf_counter() - t0
+    per = (t12 - t2) / 10
+    if per <= 0:
+        per = t12 / 12
+    return {"metric": "eigensolve_restart_walltime",
+            "value": round(per, 4), "unit": "s/restart",
+            "dims": list(DIMS), "n_kr": n_kr, "n_ev": n_ev}
 
 
 if __name__ == "__main__":

@@ -112,6 +112,12 @@ def add_mg_args(p: argparse.ArgumentParser):
                    metavar="B", help="geo block per level, 4 ints per level")
     g.add_argument("--mg-nvec", type=int, nargs="+", default=[24])
     g.add_argument("--mg-setup-iters", type=int, default=50)
+    g.add_argument("--mg-vec-outfile", default="",
+                   help="save the built MG hierarchy (transfer bases + "
+                        "Galerkin stencils; mg_vec_outfile analog)")
+    g.add_argument("--mg-vec-infile", default="",
+                   help="load a saved hierarchy instead of running the "
+                        "null-vector setup (mg_vec_infile analog)")
 
 
 def setup_jax(args):
@@ -170,7 +176,9 @@ def build_mg_param(args) -> MGParam:
     if len(nv) == 1:
         nv = nv * n_coarse
     return MGParam(n_level=args.mg_levels, geo_block_size=blocks, n_vec=nv,
-                   setup_iters=args.mg_setup_iters)
+                   setup_iters=args.mg_setup_iters,
+                   vec_outfile=getattr(args, "mg_vec_outfile", ""),
+                   vec_infile=getattr(args, "mg_vec_infile", ""))
 
 
 def load_gauge_from_args(args, gp: GaugeParam):

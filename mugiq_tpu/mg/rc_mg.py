@@ -352,3 +352,53 @@ class MGEnvRC:
 
     def prolongate_batch(self, phis):
         return jax.jit(jax.vmap(self.prolongate))(phis)
+
+    # -- hierarchy checkpoint (reference: per-level mg_vec_infile/outfile,
+    #    tests/eigensolve.cpp:584-590 — restartability = reuse of stored
+    #    null/transfer vectors) --
+
+    def save(self, path: str) -> None:
+        """Save transfer bases AND Galerkin stencils: a load skips both the
+        setup CG and the coarse-operator probing."""
+        data = {"n_level": np.asarray(self.params.n_level)}
+        for i, tr in enumerate(self.transfers):
+            g = tr.geom
+            data[f"V{i}"] = np.asarray(tr.V)
+            data[f"geom{i}"] = np.asarray(
+                list(g.fine_dims) + list(g.block)
+                + [g.ns_fine, g.nc_fine, g.spin_block], dtype=np.int64)
+        for i, op in enumerate(self.level_ops[1:]):
+            data[f"D{i}"] = np.asarray(op.D)
+            for mu in range(4):
+                data[f"Yp{i}_{mu}"] = np.asarray(op.Yp[mu])
+                data[f"Ym{i}_{mu}"] = np.asarray(op.Ym[mu])
+            data[f"nsnc{i}"] = np.asarray([op.ns, op.nc], dtype=np.int64)
+        np.savez(path, **data)
+        log(f"MGEnvRC: hierarchy saved to {path} "
+            f"({len(self.transfers)} transfer level(s))")
+
+    @classmethod
+    def load(cls, path: str, fine_op_rc, params: MGParam) -> "MGEnvRC":
+        """Rebuild the hierarchy from a save() checkpoint (no setup CG, no
+        Galerkin probing).  fine_op_rc must be the SAME operator the
+        hierarchy was built for (same gauge/kappa)."""
+        with np.load(path) as z:
+            n_coarse = int(z["n_level"]) - 1
+            transfers = []
+            level_ops = [fine_op_rc]
+            for i in range(n_coarse):
+                gi = z[f"geom{i}"]
+                g = BlockGeometry(fine_dims=tuple(int(d) for d in gi[:4]),
+                                  block=tuple(int(b) for b in gi[4:8]),
+                                  ns_fine=int(gi[8]), nc_fine=int(gi[9]),
+                                  spin_block=int(gi[10]))
+                transfers.append(TransferRC(geom=g, V=jnp.asarray(z[f"V{i}"])))
+                ns, nc = (int(v) for v in z[f"nsnc{i}"])
+                level_ops.append(StencilOperatorRC(
+                    D=jnp.asarray(z[f"D{i}"]),
+                    Yp=[jnp.asarray(z[f"Yp{i}_{mu}"]) for mu in range(4)],
+                    Ym=[jnp.asarray(z[f"Ym{i}_{mu}"]) for mu in range(4)],
+                    ns=ns, nc=nc))
+        log(f"MGEnvRC: hierarchy loaded from {path} "
+            f"({n_coarse} coarse level(s))")
+        return cls(level_ops=level_ops, transfers=transfers, params=params)

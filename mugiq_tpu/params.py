@@ -122,6 +122,12 @@ class MGParam:
     setup_iters: int = 50            # null-vector smoothing iterations
     setup_tol: float = 1e-6
     setup_seed: int = 7
+    # hierarchy checkpoint (the reference's per-level mg_vec_infile/outfile
+    # forwarding, tests/eigensolve.cpp:584-590): outfile saves the built
+    # transfer bases + Galerkin stencils; infile loads them, skipping the
+    # setup CG entirely
+    vec_outfile: str = ""
+    vec_infile: str = ""
 
 
 @dataclass

@@ -462,7 +462,12 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
         fast_op = ShardedWilsonKernel.from_kernel_op(mesh, fast_op)
 
     with phase_timer("mg-setup"):
-        env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh)
+        if mg.vec_infile:
+            env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
+        else:
+            env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh)
+            if mg.vec_outfile:
+                env.save(mg.vec_outfile)
     coarse = env.coarsest_op
 
     rng = np.random.default_rng(seed)

@@ -190,3 +190,35 @@ def test_production_mg_loop_sharded_matches_unsharded():
                                rtol=1e-4)
     np.testing.assert_allclose(got.data_mom, ref.data_mom,
                                rtol=5e-3, atol=2e-3)
+
+
+def test_mg_hierarchy_checkpoint_roundtrip(tmp_path):
+    """save()/load() of the rc MG hierarchy (the reference's per-level
+    mg_vec_infile/outfile, tests/eigensolve.cpp:584-590): a load skips the
+    setup CG and reproduces the production MG loop exactly."""
+    from mugiq_tpu.production import compute_loop_production
+    from mugiq_tpu.params import LoopParam
+
+    geom = LatticeGeometry((4, 4, 4, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    ep = EigParam(n_ev=3, n_kr=14, tol=5e-5, max_restarts=300,
+                  operator=EigOperator.MdagM)
+    path = str(tmp_path / "mg_hier.npz")
+    mg_save = MGParam(n_level=2, geo_block_size=[BLOCK], n_vec=[NVEC],
+                      setup_iters=20, vec_outfile=path)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=True)
+    U = np.asarray(fields.weak_gauge(geom, eps=0.3, seed=2))
+
+    ref = compute_loop_production(U, gp, ip, ep, lp, use_mg=True, mg=mg_save)
+    assert ref.converged
+
+    mg_load = MGParam(n_level=2, geo_block_size=[BLOCK], n_vec=[NVEC],
+                      setup_iters=20, vec_infile=path)
+    got = compute_loop_production(U, gp, ip, ep, lp, use_mg=True,
+                                  mg=mg_load)
+    assert got.converged
+    np.testing.assert_allclose(np.sort(got.evals), np.sort(ref.evals),
+                               rtol=1e-6)
+    np.testing.assert_allclose(got.data_mom, ref.data_mom, rtol=1e-5,
+                               atol=1e-7)
