@@ -66,7 +66,8 @@ def main(argv=None):
         t0 = time.time()
         res, evals, sigma, resids = compute_evecs_production(
             np.asarray(U), gp, ip, ep, autotune=args.autotune,
-            precision=args.link_precision, mesh=build_mesh(args))
+            precision=args.link_precision, mesh=build_mesh(args),
+            even_odd=args.solve_type == "direct-pc")
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")

@@ -179,11 +179,31 @@ def _rc_evecs_to_planar(evecs_rc):
     return jnp.transpose(evecs_rc, (0, 7, 5, 6, 1, 2, 3, 4))
 
 
+def build_packed_schur(U_np: np.ndarray, gauge: GaugeParam,
+                       inv: InvertParam, precision: str = "f32"):
+    """Packed even-odd Schur production operator (half-volume fields) from
+    a complex numpy gauge (reference pc_solve, eigsolve_mugiq.cpp:169-181)."""
+    from .pallas.schur_kernel import SchurDiracKernelPacked
+
+    if inv.dslash_type == DslashType.CLOVER_WILSON:
+        raise NotImplementedError(
+            "packed pc production operator is Wilson-only for now; use the "
+            "complex validation path (api.compute_evecs_mugiq(even_odd="
+            "True)) for clover pc")
+    geom = LatticeGeometry(gauge.dims)
+    U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t,
+                                        gauge.anisotropy))
+    U_k = dk.to_kernel_gauge(U_pl)
+    return SchurDiracKernelPacked(U_k=U_k, kappa=inv.kappa, Y=geom.dims[1],
+                                  precision=precision)
+
+
 def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                              inv: InvertParam, eig: EigParam,
                              mesh=None, seed: int = 1234,
                              autotune: bool = False,
-                             precision: str = "f32"):
+                             precision: str = "f32",
+                             even_odd: bool = False):
     """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
     The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
@@ -193,14 +213,23 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
 
     mesh (optional): shard operator + Krylov basis over a ('t'[, 'z'])
     device mesh.  precision="bf16": bf16 link/clover storage, f32 spinors
-    and arithmetic (QUDA half-precision analog).  Returns
-    (LanczosPlanarResult, evals, sigma, resids).
+    and arithmetic (QUDA half-precision analog).  even_odd=True
+    eigensolves the even-even Schur-preconditioned operator on PACKED
+    half-volume fields (pc_solve analog; halves memory and op cost).
+    Returns (LanczosPlanarResult, evals, sigma, resids).
     """
     geom = LatticeGeometry(gauge.dims)
-    op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
-    if autotune and mesh is None:
-        with phase_timer("autotune"):
-            op.tune()
+    if even_odd:
+        if mesh is not None:
+            raise NotImplementedError(
+                "sharded packed pc operator not implemented yet; use the "
+                "full operator with mesh or the pc operator single-device")
+        op = build_packed_schur(U_np, gauge, inv, precision=precision)
+    else:
+        op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
+        if autotune and mesh is None:
+            with phase_timer("autotune"):
+                op.tune()
 
     lanczos_kw = {}
     if mesh is not None:
@@ -210,8 +239,9 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
 
     # start vector (host numpy)
     rng = np.random.default_rng(seed)
-    v0 = jnp.asarray(rng.standard_normal(
-        (geom.Lt, 24, geom.Lz, geom.Ly * geom.Lx)), dtype=jnp.float32)
+    v0_shape = (op.field_shape if even_odd
+                else (geom.Lt, 24, geom.Lz, geom.Ly * geom.Lx))
+    v0 = jnp.asarray(rng.standard_normal(v0_shape), dtype=jnp.float32)
     if mesh is not None:
         v0 = op.place(v0)
 

@@ -103,3 +103,34 @@ def test_packed_bf16_links(setup):
     assert got.dtype == np.float32
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < 3e-2, err
+
+
+def test_production_pc_eigensolve(setup):
+    """compute_evecs_production(even_odd=True) — the pc_solve production
+    path on packed fields — matches the dense even-subspace spectrum."""
+    from mugiq_tpu.params import EigParam, GaugeParam, InvertParam, Spectrum
+    from mugiq_tpu.production import compute_evecs_production
+    from mugiq_tpu.schur import SchurDirac
+
+    dirac, U_k, psi_k = setup
+    gp = GaugeParam(dims=GEOM.dims, antiperiodic_t=False)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    ep = EigParam(n_ev=3, n_kr=16, tol=5e-5, max_restarts=200,
+                  operator=EigOperator.MdagM)
+    # dirac was built with default antiperiodic_t; reuse its links directly
+    # by rebuilding from the raw complex gauge with the same BCs
+    U = np.asarray(dirac.U)
+
+    res, evals, sigma, resids = compute_evecs_production(
+        U, gp, ip, ep, even_odd=True)
+    assert res.converged
+
+    pc_c = SchurDirac.from_dirac(dirac)
+    A = np.asarray(dense_matrix(pc_c.MdagM, dirac.field_shape,
+                                jnp.complex128))
+    par = np.asarray(GEOM.parity).reshape(-1)
+    even_idx = np.nonzero(np.repeat(par == 0, 12))[0]
+    A_ee = A[np.ix_(even_idx, even_idx)]
+    ref = np.linalg.eigvalsh((A_ee + A_ee.conj().T) / 2)[:3]
+    np.testing.assert_allclose(np.sort(evals), ref, rtol=1e-3)
+    assert max(resids) < 5e-4
