@@ -15,8 +15,9 @@ import mugiq_tpu.parallel.shard_dslash as sd
 from mugiq_tpu.parallel.shard_dslash import (make_sharded_dslash,
                                              shard_kernel_fields)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 GEOM = LatticeGeometry((8, 4, 4, 16))   # T=16 over 8 devices -> T_loc=2
 Y = 4

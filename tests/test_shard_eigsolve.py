@@ -22,8 +22,9 @@ from mugiq_tpu.parallel.shard_op import (ShardedWilsonKernel, krylov_sharding,
                                          spinor_sharding, gauge_sharding)
 from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 GEOM = LatticeGeometry((8, 4, 4, 16))   # T=16 over 8 devices -> T_loc=2
 Y = 4

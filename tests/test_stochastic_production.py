@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mugiq_tpu import fields
 from mugiq_tpu.lattice import LatticeGeometry
 from mugiq_tpu.params import DslashType, GaugeParam, InvertParam
