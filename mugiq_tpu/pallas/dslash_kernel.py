@@ -467,6 +467,21 @@ def _make_yb_kernel(Z, by, X, NB, kappa=None, dagger=False, clover=False):
             A_ref = None
         zeros = jnp.zeros((Z, X), f32)
 
+        def memo(f):
+            """Build each extended tile ONCE per grid step: the hop body
+            calls the component getters ~6x per component (once per
+            directed hop), and re-executing the 3-way halo concat per call
+            multiplied the VPU work several-fold (measured 20.3 vs 2.7 us
+            per equal-size grid step against the base kernel at 32^3x64)."""
+            cache = {}
+
+            def get(*k):
+                if k not in cache:
+                    cache[k] = f(*k)
+                return cache[k]
+            return get
+
+        @memo
         def pref_c(s, c, r):
             comp = r * 12 + s * 3 + c
             return jnp.concatenate(
@@ -475,12 +490,14 @@ def _make_yb_kernel(Z, by, X, NB, kappa=None, dagger=False, clover=False):
                  pcp_ref[0, comp, :, :X].astype(f32)], axis=-1)
 
         def pref_t(ref):
+            @memo
             def get(s, c, r):
                 comp = r * 12 + s * 3 + c
                 return jnp.concatenate(
                     [zeros, ref[0, comp].astype(f32), zeros], axis=-1)
             return get
 
+        @memo
         def uc(mu, a, b, r):
             comp = r * 9 + a * 3 + b
             left = (Uym_ref[0, comp, :, -X:].astype(f32) if mu == 1
@@ -488,6 +505,7 @@ def _make_yb_kernel(Z, by, X, NB, kappa=None, dagger=False, clover=False):
             return jnp.concatenate(
                 [left, Uc_ref[0, mu, comp].astype(f32), zeros], axis=-1)
 
+        @memo
         def utm(a, b, r):
             comp = r * 9 + a * 3 + b
             return jnp.concatenate(

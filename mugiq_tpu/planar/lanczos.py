@@ -121,17 +121,32 @@ def _make_rotate_update(ax, m, k):
     return rotate_update
 
 
-def _make_restart_update(ax, m, k, rdtype):
+def _make_restart_update(ax, m, k, rdtype, field_shape=None):
     """One jitted, V-donating call for the whole thick-restart update:
     V[:k] = rotated Ritz vectors, V[k] = residual vector (old V[m]),
     T rebuilt on device as diag(theta_sel).  Collapses what was four
     separate dispatches (rotate + two full-V copies + a host T upload)
-    into a single executable."""
+    into a single executable.
+
+    Large bases use a low-memory rotate: the stacked "bik,i...->bk..."
+    form materializes a [2, k, field] temp (9 GB PADDED at 32^3x64
+    nKr=32 — it OOMed one v5e chip); splitting into two einsums halves
+    the peak temp at the cost of a second pass over V (irrelevant at the
+    sizes where it triggers, ~1 ms of extra HBM traffic per restart)."""
     _, _, rotate = _make_ops(ax)
+    lowmem = (field_shape is not None
+              and 2 * k * int(np.prod(field_shape)) * 4 > 2 * 1024**3)
+
+    def rotate_lowmem(V, Qr, Qi):
+        Cr = jnp.einsum("ik,i...->k...", Qr, V)
+        Ci = jnp.einsum("ik,i...->k...", Qi, V)
+        return Cr - _jrot(Ci, ax + 1)
+
+    rot = rotate_lowmem if lowmem else rotate
 
     @partial(jax.jit, donate_argnums=(0,))
     def restart_update(V, Qr, Qi, theta_sel):
-        Vk = rotate(V, Qr, Qi)                    # [k, ...]
+        Vk = rot(V, Qr, Qi)                       # [k, ...]
         vres = V[m]
         V = V.at[:k].set(Vk).at[k].set(vres)
         Tn = jnp.zeros((m, m, 2), rdtype)
@@ -267,7 +282,8 @@ def lanczos_hermitian_realpair(
         cache.clear()
         cache["key"] = ckey
         cache["cycle"] = _make_cycle(matvec, m, rdtype, ax)
-        cache["restart_update"] = _make_restart_update(ax, m, k, rdtype)
+        cache["restart_update"] = _make_restart_update(ax, m, k, rdtype,
+                                                       field_shape=shape)
         cache["rotate"] = jax.jit(rotate)
         # T+beta fetched in ONE host transfer (each tunnel sync ~30 ms)
         cache["pack"] = jax.jit(lambda T, b: jnp.concatenate(

@@ -413,6 +413,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     mapped = None
     if loop_param.do_mom_proj:
         from .planar.phase import momentum_project_planar
+        from .parallel.distributed import gather_global, is_primary
         ph = phase_matrix_planar(geom, loop_param.momenta,
                                  int(loop_param.ft_sign))
         with phase_timer("momentum-projection"):
@@ -422,20 +423,27 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
                 lgtp = jax.jit(momentum_project_planar)(mapped, ph)
             else:
                 lgtp = momentum_project_production(mapped, ph)
-        arr = np.asarray(lgtp)               # [l, 2, 16, T, P]
+        # multi-host: the projected data is tiny ([l,2,16,T,P]) — gather it
+        # on every process (the reference's COMM_TIME MPI_Gather + world
+        # Bcast epilogue, loop_mugiq.cpp:420-424)
+        arr = gather_global(lgtp)            # [l, 2, 16, T, P]
         cplx = arr[:, 0] + 1j * arr[:, 1]
         data_mom = np.transpose(cplx, (3, 0, 1, 2))   # [P, l, 16, T]
 
     if loop_param.do_mom_proj and (loop_param.write_mom_space_hdf5
                                    or loop_param.fname_mom_h5):
-        write_loops_hdf5_mom(loop_param.fname_mom_h5, data_mom,
-                             [tuple(m) for m in loop_param.momenta],
-                             cp.slot_labels())
-        log(f"production loop data written to {loop_param.fname_mom_h5}")
+        if is_primary():                     # rank-0-style write
+            write_loops_hdf5_mom(loop_param.fname_mom_h5, data_mom,
+                                 [tuple(m) for m in loop_param.momenta],
+                                 cp.slot_labels())
+            log(f"production loop data written to {loop_param.fname_mom_h5}")
 
     if loop_param.write_pos_space_hdf5 and loop_param.fname_pos_h5:
         # g5-mapped, like the validation API (api.py writes map_gamma_g5
-        # data for consistency with the momentum-space output)
+        # data for consistency with the momentum-space output).
+        # Single-host write: position-space data is full-volume; at
+        # multi-host scale use per-host shard files
+        # (parallel.distributed.save_evecs_sharded pattern) instead.
         from .io.hdf5io import write_loops_hdf5_pos
         if mapped is None:
             mapped = map_gamma_g5_planar(data_pos)

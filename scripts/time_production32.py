@@ -17,7 +17,11 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 DIMS = (32, 32, 32, 64)
-NEV, NKR = 8, 32
+# nKr=32 OOMs one v5e chip: the restart rotation holds V (6.6 GB) plus a
+# non-aliased rotated output -> 18 GB > 15.75 GB HBM.  nKr=24 fits
+# (V 5 GB); larger bases at this volume are what the sharded path
+# (mesh=...) is for.
+NEV, NKR = 8, 24
 MAX_RESTARTS = 12
 
 
