@@ -139,10 +139,10 @@ def _bench_eig_restart(U_k, psi_k, Y, n_kr=48, n_ev=16):
     never converges early); the difference isolates 10 steady restarts."""
     from mugiq_tpu.pallas.dirac_kernel import WilsonDiracKernel
     from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+    from mugiq_tpu.params import EigOperator
 
     op = WilsonDiracKernel(U_k=U_k, kappa=0.12, Y=Y)
-    fn, args = op.operator_with_args(__import__(
-        "mugiq_tpu.params", fromlist=["EigOperator"]).EigOperator.MdagM)
+    fn, args = op.operator_with_args(EigOperator.MdagM)
     cache = {}
 
     def run(r):
