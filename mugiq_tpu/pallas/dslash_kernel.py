@@ -435,6 +435,222 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# grouped-lane kernel (large lattices, the fast path)
+# ---------------------------------------------------------------------------
+
+def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False):
+    """Per-t-slice dslash body on the grouped-lane layout.
+
+    The [Z, Y*X] minor dims of the kernel layout reshape FREELY (same
+    linear order) to [Z*NBy, by*X] with sublane s = z*NBy + yb and lane
+    l = yi*X + x (y = yb*by + yi).  This keeps one whole t-slice per grid
+    step at any volume with a 128/256-lane tile — full-width [Z, Y*X]
+    tiles stop compiling above ~256 lanes, and the y-blocked grid
+    (dslash_hop_pallas_yb) pays strided 192-lane DMA (measured: copy
+    bound drops to 328 GB/s) plus per-tile halo concats.
+
+    Shifts: x as in the base kernel (lane roll + edge wrap);
+    y = lane roll by X with a two-level select at the group edge
+    (yi==by-1 crosses to sublane+1; yb==NBy-1 additionally wraps y);
+    z = EXACT sublane roll by NBy; t = pipelined neighbour blocks.
+    """
+    S = Z * NBy
+    L = by * X
+
+    def roll(a, shift: int, axis: int):
+        return pltpu.roll(a, shift % a.shape[axis], axis=axis)
+
+    def compute(pm, pc, pp, uc, utm, write):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+        x_id = lane % X
+        yi = lane // X
+        yb = sub % NBy
+
+        def shift_site(a, mu: int, sign: int):
+            if mu == 0:                       # x: lane roll + row wrap
+                main = roll(a, -sign, axis=1)
+                wrapped = roll(a, sign * (X - 1), axis=1)
+                edge = (x_id == (X - 1 if sign > 0 else 0))
+                return jnp.where(edge, wrapped, main)
+            if mu == 1:                       # y: lane roll + group cross
+                main = roll(a, -sign * X, axis=1)
+                # group edge: cross to sublane +/-1, lane wraps to the
+                # opposite end of the group
+                cross = roll(roll(a, -sign, axis=0),
+                             sign * (by - 1) * X, axis=1)
+                # global y wrap: sublane jumps by -(NBy-1) instead of +1
+                ywrap = roll(roll(a, sign * (NBy - 1), axis=0),
+                             sign * (by - 1) * X, axis=1)
+                edge = (yi == (by - 1 if sign > 0 else 0))
+                bedge = (yb == (NBy - 1 if sign > 0 else 0))
+                return jnp.where(edge, jnp.where(bedge, ywrap, cross), main)
+            return roll(a, -sign * NBy, axis=0)   # z: exact sublane roll
+
+        acc = [[None] * 3 for _ in range(4)]
+
+        def add_acc(s, c, vr, vi):
+            if acc[s][c] is None:
+                acc[s][c] = (vr, vi)
+            else:
+                ar, ai = acc[s][c]
+                acc[s][c] = (ar + vr, ai + vi)
+
+        hop = partial(apply_hop, add_acc, dagger)
+
+        for mu in range(3):
+            hop(mu, True,
+                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, +1),
+                get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
+            hop(mu, False,
+                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, -1),
+                get_link=lambda a, b, r, m=mu: (
+                    shift_site(uc(m, b, a, r), m, -1)
+                    if r == 0 else
+                    -shift_site(uc(m, b, a, r), m, -1)))
+        hop(3, True,
+            get_psi=lambda s, c, r: pp(s, c, r),
+            get_link=lambda a, b, r: uc(3, a, b, r))
+        hop(3, False,
+            get_psi=lambda s, c, r: pm(s, c, r),
+            get_link=lambda a, b, r: (utm(b, a, r) if r == 0
+                                      else -utm(b, a, r)))
+
+        for s in range(4):
+            for c in range(3):
+                ar, ai = acc[s][c]
+                write(s, c, ar, ai)
+
+    return compute
+
+
+def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False):
+    """Fused M(dag) (or hop, kappa=None) kernel on the grouped-lane view."""
+    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger)
+    f32 = jnp.float32
+
+    def kernel(*refs):
+        if clover:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, A_ref, out_ref = refs
+        else:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref = refs[:5]
+            A_ref = None
+            out_ref = refs[5]
+
+        def pref(ref):
+            return lambda s, c, r: ref[0, r * 12 + s * 3 + c].astype(f32)
+
+        od = out_ref.dtype
+        if kappa is None:
+            def write(s, c, ar, ai):
+                out_ref[0, s * 3 + c] = ar.astype(od)
+                out_ref[0, 12 + s * 3 + c] = ai.astype(od)
+
+            compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
+                    lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b
+                                               ].astype(f32),
+                    lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b
+                                            ].astype(f32),
+                    write)
+            return
+
+        hop = {}
+
+        def write(s, c, ar, ai):
+            hop[(s, c)] = (ar, ai)
+
+        compute(pref(pm_ref), pref(pc_ref), pref(pp_ref),
+                lambda mu, a, b, r: Uc_ref[0, mu, r * 9 + a * 3 + b
+                                           ].astype(f32),
+                lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b].astype(f32),
+                write)
+        pcd = pref(pc_ref)
+        for s in range(4):
+            for c in range(3):
+                hr, hi = hop[(s, c)]
+                if A_ref is None:
+                    dr = pcd(s, c, 0)
+                    di = pcd(s, c, 1)
+                else:
+                    chi, k = s // 2, (s % 2) * 3 + c
+                    dr = di = None
+                    for j in range(6):
+                        sj, cj = 2 * chi + j // 3, j % 3
+                        ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2
+                                    + 0].astype(f32)
+                        ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2
+                                    + 1].astype(f32)
+                        vr, vi = pcd(sj, cj, 0), pcd(sj, cj, 1)
+                        tr = ar_ * vr - ai_ * vi
+                        ti = ar_ * vi + ai_ * vr
+                        dr = tr if dr is None else dr + tr
+                        di = ti if di is None else di + ti
+                out_ref[0, s * 3 + c] = (dr - kappa * hr).astype(od)
+                out_ref[0, 12 + s * 3 + c] = (di - kappa * hi).astype(od)
+
+    return kernel
+
+
+def _gl_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
+             out_dtype):
+    T, _, Z, YX = psi_k.shape
+    X = YX // Y
+    assert Y % by == 0, (Y, by)
+    NBy = Y // by
+    S, L = Z * NBy, by * X
+    kernel = _make_gl_kernel(Z, NBy, by, X, kappa=kappa, clover=clover,
+                             dagger=dagger)
+    # reshapes below are free: [Z, Y*X] -> [Z*NBy, by*X] is the same
+    # linear order
+    psi_g = psi_k.reshape(T, 24, S, L)
+    U_g = U_k.reshape(T, 4, 18, S, L)
+    Ut_g = Ut_k.reshape(T, 18, S, L)
+
+    def bs(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bs((1, 24, S, L), lambda i: ((i - 1) % T, 0, 0, 0)),
+        bs((1, 24, S, L), lambda i: (i, 0, 0, 0)),
+        bs((1, 24, S, L), lambda i: ((i + 1) % T, 0, 0, 0)),
+        bs((1, 4, 18, S, L), lambda i: (i, 0, 0, 0, 0)),
+        bs((1, 18, S, L), lambda i: ((i - 1) % T, 0, 0, 0)),
+    ]
+    args = [psi_g, psi_g, psi_g, U_g, Ut_g]
+    if clover:
+        in_specs.append(bs((1, 144, S, L), lambda i: (i, 0, 0, 0)))
+        args.append(A144.reshape(T, 144, S, L))
+    out = pallas_call_auto(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=bs((1, 24, S, L), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, 24, S, L),
+                                       out_dtype or psi_k.dtype),
+    )(*args)
+    return out.reshape(T, 24, Z, YX)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "dagger", "out_dtype"))
+def dslash_hop_pallas_gl(psi_k, U_k, Ut_k, Y: int, by: int = 8,
+                         dagger: bool = False, out_dtype=None):
+    """Hopping term, grouped-lane kernel (one whole t-slice per grid step
+    at any volume; see make_gl_compute)."""
+    return _gl_call(psi_k, U_k, Ut_k, None, Y, by, None, False, dagger,
+                    out_dtype)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "kappa", "dagger",
+                                   "has_clover"))
+def wilson_m_pallas_gl(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
+                       by: int = 8, dagger: bool = False,
+                       has_clover: bool = False):
+    """Fused M(dag), grouped-lane kernel (large lattices)."""
+    return _gl_call(psi_k, U_k, Ut_k, A144 if has_clover else None, Y, by,
+                    kappa, has_clover, dagger, None)
+
+
+# ---------------------------------------------------------------------------
 # y-blocked kernel (large lattices)
 # ---------------------------------------------------------------------------
 
