@@ -75,3 +75,24 @@ def clover_chiral_blocks_np(A: np.ndarray) -> np.ndarray:
         out[:, chi, :, :, 0] = blk.real
         out[:, chi, :, :, 1] = blk.imag
     return out
+
+
+def invert_chiral_blocks_np(A_blocks: np.ndarray) -> np.ndarray:
+    """Site-wise inverse of packed chiral clover blocks.
+
+    A_blocks [T, 2, 6, 6, 2, Z, YX] (clover_chiral_blocks_np) ->
+    same-shape blocks of A^{-1} (per-site 6x6 complex inverses; the
+    reference's cloverInvert analog used by the Schur complement's
+    A_oo^{-1}).  Host-side numpy: setup cost, run once per gauge."""
+    A_blocks = np.asarray(A_blocks, dtype=np.float32)
+    T, _, _, _, _, Z, YX = A_blocks.shape
+    out = np.empty_like(A_blocks)
+    for chi in range(2):
+        blk = (A_blocks[:, chi, :, :, 0].astype(np.complex128)
+               + 1j * A_blocks[:, chi, :, :, 1])          # [T,6,6,Z,YX]
+        blk = np.moveaxis(blk, (1, 2), (3, 4))            # [T,Z,YX,6,6]
+        inv = np.linalg.inv(blk)
+        inv = np.moveaxis(inv, (3, 4), (1, 2))
+        out[:, chi, :, :, 0] = inv.real.astype(np.float32)
+        out[:, chi, :, :, 1] = inv.imag.astype(np.float32)
+    return out

@@ -107,16 +107,25 @@ def pack_parity_gauge(U_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
-                        combine_kappa2):
+                        combine_kappa2, post_clover: bool = False,
+                        comb_clover: bool = False):
     """Parity-restricted hop kernel body.
 
     refs: pm, pc, pp (input-parity psi t-1/t/t+1), Uo (output-parity links,
     centre), Ui (input-parity links, centre), Utm (input-parity t-links at
-    t-1), off (output-row offset mask), [pe (output-parity psi centre,
-    combine only)], out.
+    t-1), off (output-row offset mask), [Apost (output-parity clover-inverse
+    blocks, post_clover only)], [pe (output-parity psi centre, combine
+    only)], [Acomb (output-parity clover blocks, comb_clover only)], out.
 
     combine_kappa2 = None -> out = hop;
     else out = pe - combine_kappa2 * hop (the fused Schur second pass).
+
+    Clover pc (asymmetric even-even Schur, schur.SchurDirac semantics):
+    post_clover applies packed chiral 6x6 blocks to the HOP result
+    (out = Apost . hop — the A_oo^{-1} of the first pass), comb_clover
+    replaces the combine's diagonal term with Acomb . pe
+    (out = A_ee pe - kappa^2 hop).  Blocks are packed as in
+    dslash_kernel.pack_clover_kernel144: idx = ((chi*6 + k)*6 + j)*2 + r.
     """
     YXh = Y * Xh
     f32 = jnp.float32
@@ -124,14 +133,36 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
     def roll(a, shift, axis):
         return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
+    def clover_mv(A_ref, get):
+        """res[s][c] = (re, im) of the chiral 6x6 complex matvec of the
+        component getter get(s, c) -> (re, im)."""
+        res = [[None] * 3 for _ in range(4)]
+        for s in range(4):
+            for c in range(3):
+                chi, k = s // 2, (s % 2) * 3 + c
+                dr = di = None
+                for j in range(6):
+                    sj, cj = 2 * chi + j // 3, j % 3
+                    ar_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 0
+                                ].astype(f32)
+                    ai_ = A_ref[0, ((chi * 6 + k) * 6 + j) * 2 + 1
+                                ].astype(f32)
+                    vr, vi = get(sj, cj)
+                    tr = ar_ * vr - ai_ * vi
+                    ti = ar_ * vi + ai_ * vr
+                    dr = tr if dr is None else dr + tr
+                    di = ti if di is None else di + ti
+                res[s][c] = (dr, di)
+        return res
+
     def kernel(*refs):
-        if combine_kappa2 is None:
-            pm_ref, pc_ref, pp_ref, Uo_ref, Ui_ref, Utm_ref, off_ref, \
-                out_ref = refs
-            pe_ref = None
-        else:
-            pm_ref, pc_ref, pp_ref, Uo_ref, Ui_ref, Utm_ref, off_ref, \
-                pe_ref, out_ref = refs
+        refs = list(refs)
+        pm_ref, pc_ref, pp_ref, Uo_ref, Ui_ref, Utm_ref, off_ref = refs[:7]
+        rest = refs[7:]
+        Apost_ref = rest.pop(0) if post_clover else None
+        pe_ref = rest.pop(0) if combine_kappa2 is not None else None
+        Acomb_ref = rest.pop(0) if comb_clover else None
+        (out_ref,) = rest
 
         col = jax.lax.broadcasted_iota(jnp.int32, (Z, YXh), 1) % Xh
         oo = off_ref[0, 0] > 0.5                     # [Z, YXh] bool
@@ -210,7 +241,16 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
             get_link=lambda a, b, r: (utm(b, a, r) if r == 0
                                       else -utm(b, a, r)))
 
+        if Apost_ref is not None:
+            # hop -> Apost . hop (the Schur complement's A_oo^{-1})
+            acc = clover_mv(Apost_ref, lambda s, c: acc[s][c])
+
         od = out_ref.dtype
+        if pe_ref is not None and Acomb_ref is not None:
+            diag = clover_mv(
+                Acomb_ref,
+                lambda s, c: (pe_ref[0, s * 3 + c].astype(f32),
+                              pe_ref[0, 12 + s * 3 + c].astype(f32)))
         for s in range(4):
             for c in range(3):
                 hr, hi = acc[s][c]
@@ -218,8 +258,11 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
                     out_ref[0, s * 3 + c] = hr.astype(od)
                     out_ref[0, 12 + s * 3 + c] = hi.astype(od)
                 else:
-                    er = pe_ref[0, s * 3 + c].astype(f32)
-                    ei = pe_ref[0, 12 + s * 3 + c].astype(f32)
+                    if Acomb_ref is not None:
+                        er, ei = diag[s][c]
+                    else:
+                        er = pe_ref[0, s * 3 + c].astype(f32)
+                        ei = pe_ref[0, 12 + s * 3 + c].astype(f32)
                     out_ref[0, s * 3 + c] = (
                         er - combine_kappa2 * hr).astype(od)
                     out_ref[0, 12 + s * 3 + c] = (
@@ -230,7 +273,8 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
 
 @partial(jax.jit, static_argnames=("Y", "dagger", "kappa2"))
 def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
-                      dagger: bool = False, kappa2=None, psi_out=None):
+                      dagger: bool = False, kappa2=None, psi_out=None,
+                      A_post=None, A_comb=None):
     """Hop from the input parity to the output parity on packed fields.
 
     psi_in   [T, 24, Z, Y*Xh]  input-parity spinor
@@ -239,11 +283,19 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
     Ut_in    [T, 18, Z, Y*Xh]     = U_in[:, 3] (t-links pipeline view)
     off_out  [T, 1, Z, Y*Xh]      output-row offset mask (offset_mask)
     kappa2 (static) + psi_out: fused combine psi_out - kappa2 * hop.
-    Links may be bf16 (f32 in-kernel arithmetic).
+    A_post   [T, 144, Z, Y*Xh]   packed OUTPUT-parity clover blocks applied
+                                 to the hop result (A_oo^{-1} of the clover
+                                 Schur complement's first pass)
+    A_comb   [T, 144, Z, Y*Xh]   packed clover blocks on the combine's
+                                 diagonal term: out = A psi_out - k^2 hop
+                                 (asymmetric even-even pc second pass)
+    Links/blocks may be bf16 (f32 in-kernel arithmetic).
     """
     T, _, Z, YXh = psi_in.shape
     Xh = YXh // Y
-    kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2)
+    kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2,
+                                 post_clover=A_post is not None,
+                                 comb_clover=A_comb is not None)
 
     def ps(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
@@ -259,9 +311,16 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
         ps((1, 1, Z, YXh), lambda i: i),
     ]
     args = [psi_in, psi_in, psi_in, U_out, U_in, Ut_in, off_out]
+    if A_post is not None:
+        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
+        args.append(A_post)
     if kappa2 is not None:
         in_specs.append(ps((1, 24, Z, YXh), lambda i: i))
         args.append(psi_out)
+    if A_comb is not None:
+        assert kappa2 is not None, "A_comb requires the combine pass"
+        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
+        args.append(A_comb)
     return pallas_call_auto(
         kernel,
         grid=(T,),
@@ -277,21 +336,37 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
 
 @dataclass
 class SchurDiracKernelPacked:
-    """Even-even preconditioned Wilson on PACKED half-volume fields:
-    M_pc = 1 - kappa^2 D_eo D_oe on [T, 24, Z, Y*Xh] even-parity spinors.
+    """Even-even preconditioned Wilson(-clover) on PACKED half-volume
+    fields, on [T, 24, Z, Y*Xh] even-parity spinors:
+
+        Wilson:  M_pc = 1 - kappa^2 D_eo D_oe
+        clover:  M_pc = A_ee - kappa^2 D_eo A_oo^{-1} D_oe
+                 (asymmetric even-even Schur complement — g5-hermitian,
+                 schur.SchurDirac semantics with symmetric=False)
 
     The packed twin of dirac_kernel.SchurDiracKernel (which masks parities
     on full-volume fields): identical spectrum/action on the even
     subspace, half the arithmetic and traffic per apply.  Reference
     semantics: QUDA_MATPC_EVEN_EVEN pc_solve (eigsolve_mugiq.cpp:169-181).
 
-    precision="bf16": links stored bfloat16, f32 arithmetic/spinors."""
+    A_blocks (optional): chiral-block clover matrix
+    (clover_np.clover_chiral_blocks_np, full volume); the site-wise block
+    inverse for A_oo^{-1} is computed host-side unless Ainv_blocks is
+    given.  Both passes stay single-kernel: pass 1 fuses A_oo^{-1} onto
+    the hop result, pass 2 fuses A_ee into the combine.
+
+    precision="bf16": links/clover blocks stored bfloat16, f32
+    arithmetic/spinors."""
     U_k: jnp.ndarray          # FULL kernel-layout links [T, 4, 18, Z, Y*X]
     kappa: float
     Y: int
+    A_blocks: jnp.ndarray = None      # [T, 2, 6, 6, 2, Z, YX] or None
+    Ainv_blocks: jnp.ndarray = None
     precision: str = "f32"
 
     def __post_init__(self):
+        from .dslash_kernel import pack_clover_kernel144
+
         if self.precision == "bf16":
             self.U_k = self.U_k.astype(jnp.bfloat16)
         T, _, _, Z, YX = self.U_k.shape
@@ -302,6 +377,19 @@ class SchurDiracKernelPacked:
         self.Ut_o = self.U_o[:, 3]
         self.off_e = offset_mask(T, Z, self.Y, Xh, 0)
         self.off_o = offset_mask(T, Z, self.Y, Xh, 1)
+        self.A_e = self.Ainv_o = None
+        if self.A_blocks is not None:
+            if self.Ainv_blocks is None:
+                from ..clover_np import invert_chiral_blocks_np
+                self.Ainv_blocks = jnp.asarray(
+                    invert_chiral_blocks_np(np.asarray(self.A_blocks)))
+            A144 = pack_clover_kernel144(jnp.asarray(self.A_blocks))
+            Ainv144 = pack_clover_kernel144(jnp.asarray(self.Ainv_blocks))
+            if self.precision == "bf16":
+                A144 = A144.astype(jnp.bfloat16)
+                Ainv144 = Ainv144.astype(jnp.bfloat16)
+            self.A_e = pack_parity(A144, self.Y, 0)
+            self.Ainv_o = pack_parity(Ainv144, self.Y, 1)
 
     # packing helpers for even-parity fields
     def pack_even(self, psi_k):
@@ -311,11 +399,15 @@ class SchurDiracKernelPacked:
         return unpack_parities(pe, jnp.zeros_like(pe), self.Y)
 
     def _apply(self, pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, dagger):
+        # clover: M = A_ee pe - k^2 D_eo A_oo^{-1} D_oe pe; Mdag has the
+        # identical two-pass structure with the dagger hop kernels (the
+        # chiral blocks are Hermitian, A^dag = A)
         d_oe = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=self.Y,
-                                 dagger=dagger)
+                                 dagger=dagger, A_post=self.Ainv_o)
         return parity_hop_pallas(d_oe, U_e, U_o, Ut_o, off_e, Y=self.Y,
                                  dagger=dagger,
-                                 kappa2=float(self.kappa) ** 2, psi_out=pe)
+                                 kappa2=float(self.kappa) ** 2, psi_out=pe,
+                                 A_comb=self.A_e)
 
     def M(self, pe):
         return self._apply(pe, self.U_e, self.Ut_e, self.U_o, self.Ut_o,
@@ -342,11 +434,12 @@ class SchurDiracKernelPacked:
         WilsonDiracKernel.operator_with_args)."""
         Y, k2 = self.Y, float(self.kappa) ** 2
 
-        def m(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, dagger):
+        def m(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o, dagger):
             d = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=Y,
-                                  dagger=dagger)
+                                  dagger=dagger, A_post=Ainv_o)
             return parity_hop_pallas(d, U_e, U_o, Ut_o, off_e, Y=Y,
-                                     dagger=dagger, kappa2=k2, psi_out=pe)
+                                     dagger=dagger, kappa2=k2, psi_out=pe,
+                                     A_comb=A_e)
 
         fns = {
             EigOperator.M: lambda p, *a: m(p, *a, False),
@@ -355,7 +448,7 @@ class SchurDiracKernelPacked:
             EigOperator.MMdag: lambda p, *a: m(m(p, *a, True), *a, False),
         }
         return fns[which], (self.U_e, self.Ut_e, self.U_o, self.Ut_o,
-                            self.off_e, self.off_o)
+                            self.off_e, self.off_o, self.A_e, self.Ainv_o)
 
     @property
     def field_shape(self):

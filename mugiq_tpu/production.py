@@ -182,20 +182,25 @@ def _rc_evecs_to_planar(evecs_rc):
 def build_packed_schur(U_np: np.ndarray, gauge: GaugeParam,
                        inv: InvertParam, precision: str = "f32"):
     """Packed even-odd Schur production operator (half-volume fields) from
-    a complex numpy gauge (reference pc_solve, eigsolve_mugiq.cpp:169-181)."""
+    a complex numpy gauge (reference pc_solve, eigsolve_mugiq.cpp:169-181).
+    Clover: asymmetric even-even Schur complement with the A_oo block
+    inverse computed host-side."""
     from .pallas.schur_kernel import SchurDiracKernelPacked
 
-    if inv.dslash_type == DslashType.CLOVER_WILSON:
-        raise NotImplementedError(
-            "packed pc production operator is Wilson-only for now; use the "
-            "complex validation path (api.compute_evecs_mugiq(even_odd="
-            "True)) for clover pc")
     geom = LatticeGeometry(gauge.dims)
     U_pl = jnp.asarray(_planar_gauge_np(U_np, gauge.antiperiodic_t,
                                         gauge.anisotropy))
     U_k = dk.to_kernel_gauge(U_pl)
+    A_blocks = None
+    if inv.dslash_type == DslashType.CLOVER_WILSON:
+        from .clover_np import clover_field_np, clover_chiral_blocks_np
+        u = np.asarray(U_np).copy()
+        if gauge.antiperiodic_t:
+            u[3, -1] *= -1.0
+        A = clover_field_np(u, inv.kappa, inv.csw)
+        A_blocks = jnp.asarray(clover_chiral_blocks_np(A))
     return SchurDiracKernelPacked(U_k=U_k, kappa=inv.kappa, Y=geom.dims[1],
-                                  precision=precision)
+                                  A_blocks=A_blocks, precision=precision)
 
 
 def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,

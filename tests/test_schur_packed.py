@@ -93,6 +93,76 @@ def test_packed_eigensolve_matches_dense_even_subspace(setup):
     np.testing.assert_allclose(np.sort(res.evals), ref, rtol=1e-3)
 
 
+def test_packed_clover_matches_validation():
+    """Packed clover pc (A_ee - k^2 D_eo A_oo^{-1} D_oe, in-kernel fused
+    blocks) == the complex validation SchurDirac (asymmetric) on the even
+    sites."""
+    from mugiq_tpu.schur import SchurDirac
+    from mugiq_tpu.clover_np import (clover_chiral_blocks_np,
+                                     invert_chiral_blocks_np)
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.CLOVER_WILSON, kappa=KAPPA,
+                     csw=1.1)
+    U = fields.weak_gauge(GEOM, eps=0.3, seed=11)
+    dirac = make_dirac(U, gp, ip)
+    pc_ref = SchurDirac.from_dirac(dirac)              # asymmetric
+    U_k = dk.to_kernel_gauge(gauge_to_planar(dirac.U))
+    A_blocks = clover_chiral_blocks_np(np.asarray(dirac.A))
+    # block inverse sanity: A . A^{-1} = 1 per site/chirality
+    Ainv_blocks = invert_chiral_blocks_np(A_blocks)
+    Ac = A_blocks[:, :, :, :, 0] + 1j * A_blocks[:, :, :, :, 1]
+    Ic = Ainv_blocks[:, :, :, :, 0] + 1j * Ainv_blocks[:, :, :, :, 1]
+    prod = np.einsum("tckjzl,tcjmzl->tckmzl", Ac, Ic)
+    eye = np.eye(6)[None, None, :, :, None, None]
+    np.testing.assert_allclose(prod, np.broadcast_to(eye, prod.shape),
+                               atol=1e-5)
+
+    pc_pack = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y,
+                                        A_blocks=jnp.asarray(A_blocks))
+    psi = fields.random_spinor(GEOM, seed=5, dtype=jnp.complex64)
+    psi_k = dk.to_kernel_spinor(spinor_to_planar(psi))
+    pe = pc_pack.pack_even(psi_k)
+    for name in ("M", "Mdag", "MdagM", "MMdag"):
+        ref_c = getattr(pc_ref, name)(psi)
+        ref_k = np.asarray(dk.to_kernel_spinor(spinor_to_planar(ref_c)))
+        got = np.asarray(pc_pack.unpack_even(getattr(pc_pack, name)(pe)))
+        np.testing.assert_allclose(got, ref_k, atol=2e-5, err_msg=name)
+
+    # operand-threaded form agrees
+    fn, args = pc_pack.operator_with_args(EigOperator.MdagM)
+    np.testing.assert_allclose(np.asarray(fn(pe, *args)),
+                               np.asarray(pc_pack.MdagM(pe)), atol=1e-6)
+
+
+def test_production_pc_eigensolve_clover():
+    """compute_evecs_production(even_odd=True) with CLOVER_WILSON matches
+    the dense even-subspace spectrum of the asymmetric clover pc."""
+    from mugiq_tpu.params import EigParam
+    from mugiq_tpu.production import compute_evecs_production
+    from mugiq_tpu.schur import SchurDirac
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.CLOVER_WILSON, kappa=KAPPA,
+                     csw=1.1)
+    U = fields.weak_gauge(GEOM, eps=0.3, seed=11)
+    dirac = make_dirac(U, gp, ip)
+    ep = EigParam(n_ev=3, n_kr=16, tol=5e-5, max_restarts=200,
+                  operator=EigOperator.MdagM)
+    res, evals, sigma, resids = compute_evecs_production(
+        np.asarray(U), gp, ip, ep, even_odd=True)
+    assert res.converged
+
+    pc_c = SchurDirac.from_dirac(dirac)
+    A = np.asarray(dense_matrix(pc_c.MdagM, dirac.field_shape,
+                                jnp.complex128))
+    par = np.asarray(GEOM.parity).reshape(-1)
+    even_idx = np.nonzero(np.repeat(par == 0, 12))[0]
+    A_ee = A[np.ix_(even_idx, even_idx)]
+    ref = np.linalg.eigvalsh((A_ee + A_ee.conj().T) / 2)[:3]
+    np.testing.assert_allclose(np.sort(evals), ref, rtol=1e-3)
+
+
 def test_packed_bf16_links(setup):
     dirac, U_k, psi_k = setup
     pc32 = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y)
