@@ -627,6 +627,11 @@ def _gl_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
         out_specs=bs((1, 24, S, L), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, 24, S, L),
                                        out_dtype or psi_k.dtype),
+        # whole-t-slice blocks at large volumes exceed the default 16 MB
+        # scoped-vmem budget (46.5 MB at 32^3x64 f32) but fit the chip's
+        # 128 MB VMEM comfortably — raise the per-kernel limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(*args)
     return out.reshape(T, 24, Z, YX)
 

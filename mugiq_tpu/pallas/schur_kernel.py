@@ -330,6 +330,57 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
     )(*args)
 
 
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2"))
+def parity_hop_pallas_ext(psi_ext, U_out, U_in, Ut_in_shift, off_out,
+                          Y: int, dagger: bool = False, kappa2=None,
+                          psi_out=None, A_post=None, A_comb=None):
+    """t-halo-extended parity hop — the sharded twin of parity_hop_pallas.
+
+    psi_ext [T_loc+2, 24, Z, Y*Xh] (rows 0/-1 are ppermuted halos of the
+    INPUT parity); U_out/U_in [T_loc, 4, 18, Z, Y*Xh]; Ut_in_shift
+    [T_loc, 18, Z, Y*Xh] with Ut_in_shift[i] = U_in_t(global t_i - 1);
+    off_out/psi_out/A_* local t slices.  Packed columns are invariant
+    under t hops (the row x-offset flips with both t and parity), so the
+    halo slices splice in exactly like the full kernel's."""
+    Tl = U_out.shape[0]
+    _, _, Z, YXh = psi_ext.shape
+    Xh = YXh // Y
+    kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2,
+                                 post_clover=A_post is not None,
+                                 comb_clover=A_comb is not None)
+
+    def ps(shape, tmap):
+        return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
+            len(shape) - 1), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        ps((1, 24, Z, YXh), lambda i: i),
+        ps((1, 24, Z, YXh), lambda i: i + 1),
+        ps((1, 24, Z, YXh), lambda i: i + 2),
+        ps((1, 4, 18, Z, YXh), lambda i: i),
+        ps((1, 4, 18, Z, YXh), lambda i: i),
+        ps((1, 18, Z, YXh), lambda i: i),
+        ps((1, 1, Z, YXh), lambda i: i),
+    ]
+    args = [psi_ext, psi_ext, psi_ext, U_out, U_in, Ut_in_shift, off_out]
+    if A_post is not None:
+        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
+        args.append(A_post)
+    if kappa2 is not None:
+        in_specs.append(ps((1, 24, Z, YXh), lambda i: i))
+        args.append(psi_out)
+    if A_comb is not None:
+        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
+        args.append(A_comb)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=in_specs,
+        out_specs=ps((1, 24, Z, YXh), lambda i: i),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Z, YXh), psi_ext.dtype),
+    )(*args)
+
+
 # ---------------------------------------------------------------------------
 # operator
 # ---------------------------------------------------------------------------

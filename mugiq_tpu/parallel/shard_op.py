@@ -173,3 +173,144 @@ class ShardedWilsonKernel:
         return cls(mesh=mesh,
                    U_k=jax.device_put(op.U_k, gauge_sharding(mesh)),
                    kappa=op.kappa, Y=op.Y, A_blocks=A)
+
+
+# ---------------------------------------------------------------------------
+# sharded packed even-odd Schur operator
+# ---------------------------------------------------------------------------
+
+def make_sharded_schur_m(mesh: Mesh, Y: int, kappa: float,
+                         dagger: bool = False, has_clover: bool = False):
+    """Packed even-even Schur M(dag) over a 1D 't' mesh.
+
+    Returns fn(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o) on
+    t-sharded PACKED fields [T, 24, Z, Y*Xh] — two ppermute+pallas parity
+    passes (e->o then the fused o->e combine), the sharded twin of
+    pallas.schur_kernel.SchurDiracKernelPacked._apply.  A_e/Ainv_o are
+    packed clover blocks (dummy 1-arrays when has_clover=False)."""
+    from ..pallas.schur_kernel import parity_hop_pallas_ext
+    from .shard_dslash import _shard_map_kwargs
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    nt = mesh.shape["t"]
+    fwd = [(i, (i + 1) % nt) for i in range(nt)]
+    bwd = [(i, (i - 1) % nt) for i in range(nt)]
+    k2 = float(kappa) ** 2
+
+    def ext_t(a):
+        halo_prev = jax.lax.ppermute(a[-1:], "t", perm=fwd)
+        halo_next = jax.lax.ppermute(a[:1], "t", perm=bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=0)
+
+    def shift_ut(Ut):
+        prev = jax.lax.ppermute(Ut[-1:], "t", perm=fwd)
+        return jnp.concatenate([prev, Ut[:-1]], axis=0)
+
+    def body(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o):
+        d_o = parity_hop_pallas_ext(
+            ext_t(pe), U_o, U_e, shift_ut(Ut_e), off_o, Y=Y, dagger=dagger,
+            A_post=Ainv_o if has_clover else None)
+        return parity_hop_pallas_ext(
+            ext_t(d_o), U_e, U_o, shift_ut(Ut_o), off_e, Y=Y,
+            dagger=dagger, kappa2=k2, psi_out=pe,
+            A_comb=A_e if has_clover else None)
+
+    spec = P("t")
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec,) * 9,
+        out_specs=spec,
+        **_shard_map_kwargs(),
+    )
+    return jax.jit(sharded)
+
+
+@dataclass
+class ShardedSchurKernelPacked:
+    """Packed even-even Schur (Wilson or asymmetric clover pc) over a 1D
+    't' device mesh — the sharded twin of SchurDiracKernelPacked.  Built
+    from a single-device packed operator via :meth:`from_packed_op`; all
+    packed operands (half-volume links, offset masks, clover blocks) are
+    t-sharded and threaded as explicit jit arguments."""
+    mesh: Mesh
+    op: object          # SchurDiracKernelPacked (fields re-placed sharded)
+
+    def __post_init__(self):
+        has_c = self.op.A_e is not None
+        s = NamedSharding(self.mesh, P("t"))
+        put = lambda a: jax.device_put(a, s)
+        self.U_e, self.U_o = put(self.op.U_e), put(self.op.U_o)
+        self.Ut_e, self.Ut_o = put(self.op.Ut_e), put(self.op.Ut_o)
+        self.off_e, self.off_o = put(self.op.off_e), put(self.op.off_o)
+        if has_c:
+            self.A_e, self.Ainv_o = put(self.op.A_e), put(self.op.Ainv_o)
+        else:
+            T = self.U_e.shape[0]
+            dummy = put(jnp.zeros((T, 1, 1, 1), self.U_e.dtype))
+            self.A_e = self.Ainv_o = dummy
+        self._m = make_sharded_schur_m(self.mesh, self.op.Y, self.op.kappa,
+                                       has_clover=has_c)
+        self._mdag = make_sharded_schur_m(self.mesh, self.op.Y,
+                                          self.op.kappa, dagger=True,
+                                          has_clover=has_c)
+
+    def _args(self):
+        return (self.U_e, self.Ut_e, self.U_o, self.Ut_o,
+                self.off_e, self.off_o, self.A_e, self.Ainv_o)
+
+    def M(self, pe):
+        return self._m(pe, *self._args())
+
+    def Mdag(self, pe):
+        return self._mdag(pe, *self._args())
+
+    def MdagM(self, pe):
+        return self.Mdag(self.M(pe))
+
+    def MMdag(self, pe):
+        return self.M(self.Mdag(pe))
+
+    def operator(self, which: EigOperator) -> Callable:
+        return {EigOperator.M: self.M, EigOperator.Mdag: self.Mdag,
+                EigOperator.MdagM: self.MdagM,
+                EigOperator.MMdag: self.MMdag}[which]
+
+    def operator_with_args(self, which: EigOperator):
+        m, mdag = self._m, self._mdag
+        fns = {
+            EigOperator.M: lambda p, *a: m(p, *a),
+            EigOperator.Mdag: lambda p, *a: mdag(p, *a),
+            EigOperator.MdagM: lambda p, *a: mdag(m(p, *a), *a),
+            EigOperator.MMdag: lambda p, *a: m(mdag(p, *a), *a),
+        }
+        return fns[which], self._args()
+
+    # packing passthroughs (host-side, on full kernel-layout fields)
+    def pack_even(self, psi_k):
+        return self.op.pack_even(psi_k)
+
+    def unpack_even(self, pe):
+        return self.op.unpack_even(pe)
+
+    def place(self, pe):
+        return jax.device_put(pe, NamedSharding(self.mesh, P("t")))
+
+    @property
+    def field_shape(self):
+        return self.op.field_shape
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    @classmethod
+    def from_packed_op(cls, mesh: Mesh, op) -> "ShardedSchurKernelPacked":
+        if _is_2d(mesh) or _is_3d(mesh):
+            raise NotImplementedError(
+                "sharded packed pc operator supports a 1D 't' mesh "
+                "(z/y-sharded parity kernels pending)")
+        return cls(mesh=mesh, op=op)

@@ -225,10 +225,6 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     """
     geom = LatticeGeometry(gauge.dims)
     if even_odd:
-        if mesh is not None:
-            raise NotImplementedError(
-                "sharded packed pc operator not implemented yet; use the "
-                "full operator with mesh or the pc operator single-device")
         op = build_packed_schur(U_np, gauge, inv, precision=precision)
     else:
         op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
@@ -238,8 +234,13 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
 
     lanczos_kw = {}
     if mesh is not None:
-        from .parallel.shard_op import ShardedWilsonKernel, krylov_sharding
-        op = ShardedWilsonKernel.from_kernel_op(mesh, op)
+        from .parallel.shard_op import (ShardedWilsonKernel,
+                                        ShardedSchurKernelPacked,
+                                        krylov_sharding)
+        if even_odd:
+            op = ShardedSchurKernelPacked.from_packed_op(mesh, op)
+        else:
+            op = ShardedWilsonKernel.from_kernel_op(mesh, op)
         lanczos_kw["sharding"] = krylov_sharding(mesh)
 
     # start vector (host numpy)
