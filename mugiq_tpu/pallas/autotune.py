@@ -131,7 +131,8 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
     The timed variants take the field operands as jit arguments; the
     returned callable closes over them for convenience (single dispatch of
     an already-compiled executable embeds no constants)."""
-    from .dslash_kernel import wilson_m_pallas, wilson_m_pallas_yb
+    from .dslash_kernel import (wilson_m_pallas, wilson_m_pallas_gl,
+                                wilson_m_pallas_yb)
     from .dslash_win_kernel import wilson_m_pallas_win
 
     T = psi.shape[0]
@@ -150,7 +151,15 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
                     wilson_m_pallas_win(p, U, Ut, A, Y=Y, kappa=kappa, bt=b,
                                         dagger=dagger,
                                         has_clover=has_clover))
-    # y-blocked kernels: the large-lattice path (tile width (by+2)*X)
+    # grouped-lane kernels: whole t-slice per grid step at any volume
+    # (lane axis regrouped to by*X; at 32^3x64 the f32 variant runs at the
+    # streaming-traffic roofline — 687 GFLOP/s vs yb4's 267)
+    for by in (4, 8, 16):
+        if Y % by == 0 and by < Y and 128 <= by * X <= 512:
+            variants[f"gl{by}"] = lambda p, U, Ut, A, b=by: (
+                wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
+                                   dagger=dagger, has_clover=has_clover))
+    # y-blocked kernels: fallback when no gl grouping fits
     for by in (2, 4, 8):
         if Y % by == 0 and by < Y and (by + 2) * X <= 512:
             variants[f"yb{by}"] = lambda p, U, Ut, A, b=by: (

@@ -153,17 +153,25 @@ class WilsonDiracKernel:
         # untuned default: the full-width [Z, YX] kernels trip this
         # backend's compile-size wall above ~256 lanes (measured: YX=256
         # compiles, 512 does not) — large lattices default to the
-        # y-blocked kernel so 32^3x64 runs without tuning.
+        # grouped-lane kernel (whole t-slice per grid step, lane axis
+        # regrouped to by*X; at-roofline at 32^3x64), y-blocked as a
+        # fallback when no lane grouping fits.
         default = "base"
         YX = self.U_k.shape[-1]
         X = YX // self.Y
         if YX > 256:
-            for by in (8, 4, 2):
-                if self.Y % by == 0 and (by + 2) * X <= 256:
-                    default = f"yb{by}"
-                    break
+            gl_feasible = [b for b in (4, 8, 16)
+                           if self.Y % b == 0 and b < self.Y
+                           and 128 <= b * X <= 512]
+            if gl_feasible:
+                default = f"gl{min(gl_feasible, key=lambda b: abs(b*X-256))}"
             else:
-                default = "yb2" if self.Y % 2 == 0 else "base"
+                for by in (8, 4, 2):
+                    if self.Y % by == 0 and (by + 2) * X <= 256:
+                        default = f"yb{by}"
+                        break
+                else:
+                    default = "yb2" if self.Y % 2 == 0 else "base"
         self._m_variant = self._mdag_variant = default
 
     def tune(self, psi=None, force=False):
@@ -186,8 +194,10 @@ class WilsonDiracKernel:
         return self
 
     def _dispatch_m(self, psi, U, Ut, A, dagger):
-        """Apply the selected kernel variant (base / win:bt / yb:by)."""
-        from .dslash_kernel import wilson_m_pallas, wilson_m_pallas_yb
+        """Apply the selected kernel variant (base / win:bt / gl:by /
+        yb:by)."""
+        from .dslash_kernel import (wilson_m_pallas, wilson_m_pallas_gl,
+                                    wilson_m_pallas_yb)
         from .dslash_win_kernel import wilson_m_pallas_win
 
         has_c = self.A_blocks is not None
@@ -196,6 +206,10 @@ class WilsonDiracKernel:
             return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
                                        kappa=self.kappa, bt=int(var[3:]),
                                        dagger=dagger, has_clover=has_c)
+        if var.startswith("gl"):
+            return wilson_m_pallas_gl(psi, U, Ut, A, Y=self.Y,
+                                      kappa=self.kappa, by=int(var[2:]),
+                                      dagger=dagger, has_clover=has_c)
         if var.startswith("yb"):
             return wilson_m_pallas_yb(psi, U, Ut, A, Y=self.Y,
                                       kappa=self.kappa, by=int(var[2:]),
