@@ -123,12 +123,70 @@ def main():
         print(f"bench: eig-restart metric failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # third metric: 32^3x64 grouped-lane dslash (the flagship-volume
+    # number; link VALUES don't affect timing, so raw normal arrays stand
+    # in for SU(3) links — no 100 s host gauge build).  Written to
+    # artifacts/bench_dslash32_headline.json.
+    try:
+        d32 = _bench_dslash32()
+        print(f"dslash 32^3x64 gl8: {d32['us_f32']:.0f} us f32 "
+              f"({d32['gflops_f32']:.0f} GFLOP/s), "
+              f"{d32['us_bf16']:.0f} us all-bf16 "
+              f"({d32['gflops_bf16']:.0f} GFLOP/s)", file=sys.stderr)
+        with open("artifacts/bench_dslash32_headline.json", "w") as f:
+            json.dump(d32, f)
+    except Exception as e:
+        print(f"bench: 32^3 metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "wilson_dslash_throughput",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / sol, 4),
     }))
+
+
+def _bench_dslash32(n1=8, n2=58, reps=3):
+    """Grouped-lane dslash at 32^3x64, f32 and all-bf16 (clean chains: no
+    inter-apply scale op — values overflow, timing is unaffected)."""
+    import numpy as np
+    import mugiq_tpu.pallas.dslash_kernel as dk
+
+    T, Z, Y, X = 64, 32, 32, 32
+    vol = T * Z * Y * X
+    rng = np.random.default_rng(0)
+    psi = jnp.asarray(rng.standard_normal((T, 24, Z, Y * X)),
+                      dtype=jnp.float32)
+    U = jnp.asarray(rng.standard_normal((T, 4, 18, Z, Y * X)),
+                    dtype=jnp.float32)
+
+    def timed(p, u, ut):
+        @partial(jax.jit, static_argnames=("n",))
+        def chain(pp, n, uu, uut):
+            return jax.lax.fori_loop(
+                0, n, lambda i, x: dk.dslash_hop_pallas_gl(x, uu, uut,
+                                                           Y=Y, by=8), pp)
+
+        _force(chain(p, n1, u, ut)); _force(chain(p, n2, u, ut))
+        pers = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); _force(chain(p, n1, u, ut))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); _force(chain(p, n2, u, ut))
+            t2 = time.perf_counter() - t0
+            pers.append((t2 - t1) / (n2 - n1))
+        return float(np.median(pers))
+
+    per32 = timed(psi, U, U[:, 3])
+    Ub = U.astype(jnp.bfloat16)
+    perb = timed(psi.astype(jnp.bfloat16), Ub, Ub[:, 3])
+    return {"metric": "wilson_dslash_throughput_32c",
+            "dims": [32, 32, 32, 64], "variant": "gl8",
+            "us_f32": round(per32 * 1e6, 1),
+            "gflops_f32": round(1320 * vol / per32 / 1e9, 1),
+            "us_bf16": round(perb * 1e6, 1),
+            "gflops_bf16": round(1320 * vol / perb / 1e9, 1)}
 
 
 def _bench_eig_restart(U_k, psi_k, Y, n_kr=48, n_ev=16):

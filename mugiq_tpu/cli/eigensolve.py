@@ -35,6 +35,11 @@ def main(argv=None):
                    default="f32",
                    help="production link/clover storage precision (bf16 = "
                         "QUDA half-precision analog; arithmetic stays f32)")
+    p.add_argument("--basis-precision", choices=("f32", "bf16"),
+                   default="f32",
+                   help="production Krylov-basis storage precision (bf16 "
+                        "halves the cycle-algebra HBM traffic; f32 "
+                        "arithmetic; deflation-grade residuals)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -67,7 +72,8 @@ def main(argv=None):
         res, evals, sigma, resids = compute_evecs_production(
             np.asarray(U), gp, ip, ep, autotune=args.autotune,
             precision=args.link_precision, mesh=build_mesh(args),
-            even_odd=args.solve_type == "direct-pc")
+            even_odd=args.solve_type == "direct-pc",
+            basis_precision=args.basis_precision)
         if not res.converged:
             log("WARNING: production eigensolve did NOT converge to "
                 "tolerance")

@@ -47,6 +47,11 @@ def main(argv=None):
     g.add_argument("--autotune", action="store_true",
                    help="autotune the pallas operator variant for this "
                         "lattice size (persists in the tune cache)")
+    g.add_argument("--basis-precision", choices=("f32", "bf16"),
+                   default="f32",
+                   help="production Krylov-basis storage precision (bf16 "
+                        "halves the cycle-algebra HBM traffic; f32 "
+                        "arithmetic; deflation-grade residuals)")
     g.add_argument("--link-precision", choices=("f32", "bf16"),
                    default="f32",
                    help="production link/clover storage precision (bf16 = "
@@ -105,6 +110,7 @@ def main(argv=None):
             U, gp, ip, ep, lp,
             U_loop_np=U_loop, autotune=args.autotune,
             precision=args.link_precision, mesh=build_mesh(args),
+            basis_precision=args.basis_precision,
             use_mg=use_mg, mg=build_mg_param(args) if use_mg else None)
         for i, (lam, r) in enumerate(zip(res.evals, res.resids)):
             log(f"Mugiq: Eval[{i:04d}] = {lam:+.16e} , Residual = {r:+.16e}")

@@ -132,7 +132,7 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
     returned callable closes over them for convenience (single dispatch of
     an already-compiled executable embeds no constants)."""
     from .dslash_kernel import (wilson_m_pallas, wilson_m_pallas_gl,
-                                wilson_m_pallas_yb)
+                                wilson_m_pallas_glt, wilson_m_pallas_yb)
     from .dslash_win_kernel import wilson_m_pallas_win
 
     T = psi.shape[0]
@@ -159,6 +159,24 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
             variants[f"gl{by}"] = lambda p, U, Ut, A, b=by: (
                 wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
                                    dagger=dagger, has_clover=has_clover))
+            # t-blocked gl: psi refetch (bt+2)/bt — measured SLOWER than gl
+            # at 32^3 (BlockSpec pipelining degrades with bt-sized blocks);
+            # kept in the sweep for other shapes.  bt=4 f32 may exceed
+            # VMEM (tune catches the compile failure).
+            for bt in (2, 4):
+                if T % bt == 0 and T > bt:
+                    variants[f"glt{by}.{bt}"] = (
+                        lambda p, U, Ut, A, b=by, t=bt: wilson_m_pallas_glt(
+                            p, U, Ut, A, Y=Y, kappa=kappa, by=b, bt=t,
+                            dagger=dagger, has_clover=has_clover))
+            # manual-DMA t-window on the gl layout: fewer DMA streams AND
+            # (bt+2)/bt psi traffic — the DMA-structure-bound candidate
+            for bt in (2, 4):
+                if T % bt == 0 and T > bt:
+                    variants[f"wing{by}.{bt}"] = (
+                        lambda p, U, Ut, A, b=by, t=bt: wilson_m_pallas_win(
+                            p, U, Ut, A, Y=Y, kappa=kappa, bt=t, gl_by=b,
+                            dagger=dagger, has_clover=has_clover))
     # y-blocked kernels: fallback when no gl grouping fits
     for by in (2, 4, 8):
         if Y % by == 0 and by < Y and (by + 2) * X <= 512:

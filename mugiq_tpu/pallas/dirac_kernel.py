@@ -197,14 +197,24 @@ class WilsonDiracKernel:
         """Apply the selected kernel variant (base / win:bt / gl:by /
         yb:by)."""
         from .dslash_kernel import (wilson_m_pallas, wilson_m_pallas_gl,
-                                    wilson_m_pallas_yb)
+                                    wilson_m_pallas_glt, wilson_m_pallas_yb)
         from .dslash_win_kernel import wilson_m_pallas_win
 
         has_c = self.A_blocks is not None
         var = self._mdag_variant if dagger else self._m_variant
+        if var.startswith("wing"):
+            by, bt = (int(v) for v in var[4:].split("."))
+            return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
+                                       kappa=self.kappa, bt=bt, gl_by=by,
+                                       dagger=dagger, has_clover=has_c)
         if var.startswith("win"):
             return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,
                                        kappa=self.kappa, bt=int(var[3:]),
+                                       dagger=dagger, has_clover=has_c)
+        if var.startswith("glt"):
+            by, bt = (int(v) for v in var[3:].split("."))
+            return wilson_m_pallas_glt(psi, U, Ut, A, Y=self.Y,
+                                       kappa=self.kappa, by=by, bt=bt,
                                        dagger=dagger, has_clover=has_c)
         if var.startswith("gl"):
             return wilson_m_pallas_gl(psi, U, Ut, A, Y=self.Y,

@@ -656,6 +656,152 @@ def wilson_m_pallas_gl(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
 
 
 # ---------------------------------------------------------------------------
+# t-blocked grouped-lane kernel (large lattices, HBM-bound regime)
+# ---------------------------------------------------------------------------
+
+def _make_glt_kernel(Z, NBy, by, X, bt, kappa=None, dagger=False,
+                     clover=False):
+    """Grouped-lane kernel over bt t-slices per grid step.
+
+    The single-slice gl kernel fetches psi three times per output slice
+    (t-1/t/t+1 pipelined blocks); at 32^3x64 it is purely DMA-bound
+    (f32 4.04 ms vs all-bf16 2.17 ms — an exact traffic ratio), so the
+    refetch is pure loss.  Blocking bt slices reuses the centre block for
+    the interior t-neighbours: psi traffic drops to (bt+2)/bt slices per
+    slice and the t-links at t-1 come from the centre U block for j>0.
+    """
+    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger)
+    f32 = jnp.float32
+
+    def kernel(*refs):
+        if clover:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref, A_ref, out_ref = refs
+        else:
+            pm_ref, pc_ref, pp_ref, Uc_ref, Utm_ref = refs[:5]
+            A_ref = None
+            out_ref = refs[5]
+        od = out_ref.dtype
+
+        def pref(ref, jj):
+            return lambda s, c, r: ref[jj, r * 12 + s * 3 + c].astype(f32)
+
+        for j in range(bt):
+            pm = pref(pm_ref, 0) if j == 0 else pref(pc_ref, j - 1)
+            pp = pref(pp_ref, 0) if j == bt - 1 else pref(pc_ref, j + 1)
+            uc = (lambda mu, a, b, r, jj=j:
+                  Uc_ref[jj, mu, r * 9 + a * 3 + b].astype(f32))
+            if j == 0:
+                utm = lambda a, b, r: Utm_ref[0, r * 9 + a * 3 + b
+                                              ].astype(f32)
+            else:
+                utm = (lambda a, b, r, jj=j:
+                       Uc_ref[jj - 1, 3, r * 9 + a * 3 + b].astype(f32))
+
+            if kappa is None:
+                def write(s, c, ar, ai, jj=j):
+                    out_ref[jj, s * 3 + c] = ar.astype(od)
+                    out_ref[jj, 12 + s * 3 + c] = ai.astype(od)
+
+                compute(pm, pref(pc_ref, j), pp, uc, utm, write)
+                continue
+
+            hop = {}
+
+            def write(s, c, ar, ai):
+                hop[(s, c)] = (ar, ai)
+
+            compute(pm, pref(pc_ref, j), pp, uc, utm, write)
+            pcd = pref(pc_ref, j)
+            for s in range(4):
+                for c in range(3):
+                    hr, hi = hop[(s, c)]
+                    if A_ref is None:
+                        dr = pcd(s, c, 0)
+                        di = pcd(s, c, 1)
+                    else:
+                        chi, k = s // 2, (s % 2) * 3 + c
+                        dr = di = None
+                        for jb in range(6):
+                            sj, cj = 2 * chi + jb // 3, jb % 3
+                            ar_ = A_ref[j, ((chi * 6 + k) * 6 + jb) * 2
+                                        + 0].astype(f32)
+                            ai_ = A_ref[j, ((chi * 6 + k) * 6 + jb) * 2
+                                        + 1].astype(f32)
+                            vr, vi = pcd(sj, cj, 0), pcd(sj, cj, 1)
+                            tr = ar_ * vr - ai_ * vi
+                            ti = ar_ * vi + ai_ * vr
+                            dr = tr if dr is None else dr + tr
+                            di = ti if di is None else di + ti
+                    out_ref[j, s * 3 + c] = (dr - kappa * hr).astype(od)
+                    out_ref[j, 12 + s * 3 + c] = (di - kappa * hi
+                                                  ).astype(od)
+
+    return kernel
+
+
+def _glt_call(psi_k, U_k, Ut_k, A144, Y, by, bt, kappa, clover, dagger,
+              out_dtype):
+    T, _, Z, YX = psi_k.shape
+    X = YX // Y
+    assert Y % by == 0, (Y, by)
+    assert T % bt == 0, (T, bt)
+    NBy = Y // by
+    S, L = Z * NBy, by * X
+    kernel = _make_glt_kernel(Z, NBy, by, X, bt, kappa=kappa, clover=clover,
+                              dagger=dagger)
+    psi_g = psi_k.reshape(T, 24, S, L)
+    U_g = U_k.reshape(T, 4, 18, S, L)
+    Ut_g = Ut_k.reshape(T, 18, S, L)
+
+    def bs(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    # pm/pp/Utm have block size 1 on t, so their index maps return ELEMENT
+    # offsets; the centre/U/out blocks are bt-sized (map returns block idx).
+    in_specs = [
+        bs((1, 24, S, L), lambda i: ((i * bt - 1) % T, 0, 0, 0)),
+        bs((bt, 24, S, L), lambda i: (i, 0, 0, 0)),
+        bs((1, 24, S, L), lambda i: (((i + 1) * bt) % T, 0, 0, 0)),
+        bs((bt, 4, 18, S, L), lambda i: (i, 0, 0, 0, 0)),
+        bs((1, 18, S, L), lambda i: ((i * bt - 1) % T, 0, 0, 0)),
+    ]
+    args = [psi_g, psi_g, psi_g, U_g, Ut_g]
+    if clover:
+        in_specs.append(bs((bt, 144, S, L), lambda i: (i, 0, 0, 0)))
+        args.append(A144.reshape(T, 144, S, L))
+    out = pallas_call_auto(
+        kernel,
+        grid=(T // bt,),
+        in_specs=in_specs,
+        out_specs=bs((bt, 24, S, L), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, 24, S, L),
+                                       out_dtype or psi_k.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(*args)
+    return out.reshape(T, 24, Z, YX)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "bt", "dagger", "out_dtype"))
+def dslash_hop_pallas_glt(psi_k, U_k, Ut_k, Y: int, by: int = 8,
+                          bt: int = 2, dagger: bool = False,
+                          out_dtype=None):
+    """Hopping term, t-blocked grouped-lane kernel (see _make_glt_kernel)."""
+    return _glt_call(psi_k, U_k, Ut_k, None, Y, by, bt, None, False, dagger,
+                     out_dtype)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "bt", "kappa", "dagger",
+                                   "has_clover"))
+def wilson_m_pallas_glt(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
+                        by: int = 8, bt: int = 2, dagger: bool = False,
+                        has_clover: bool = False):
+    """Fused M(dag), t-blocked grouped-lane kernel (large lattices)."""
+    return _glt_call(psi_k, U_k, Ut_k, A144 if has_clover else None, Y, by,
+                     bt, kappa, has_clover, dagger, None)
+
+
+# ---------------------------------------------------------------------------
 # y-blocked kernel (large lattices)
 # ---------------------------------------------------------------------------
 

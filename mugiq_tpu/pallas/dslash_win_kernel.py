@@ -34,11 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dslash_kernel import make_slice_compute, pallas_call_auto
+from .dslash_kernel import (make_gl_compute, make_slice_compute,
+                            pallas_call_auto)
 
 
 def _make_win_kernel(Z, Y, X, bt, T, kappa=None, clover=False,
-                     dagger=False, out_dtype=jnp.float32):
+                     dagger=False, out_dtype=jnp.float32, gl_by=None):
     """out = hop(psi)               (kappa is None)
        out = A psi - kappa hop(psi) (kappa set; A=1 unless clover)
 
@@ -47,8 +48,16 @@ def _make_win_kernel(Z, Y, X, bt, T, kappa=None, clover=False,
           out_ref [bt,24,Z,YX] (VMEM blocked);
     scratch: psi_win [2, bt+2, 24, Z, YX], utm_win [2, 1, 18, Z, YX],
              sems [2, 4].
+
+    gl_by: grouped-lane tiling (the [Z, YX] slice views as
+    [Z*NBy, gl_by*X]; see dslash_kernel.make_gl_compute) — required above
+    the ~256-lane compile wall.  The window DMA logic is layout-agnostic
+    (whole t rows); only the stencil body changes.
     """
-    compute = make_slice_compute(Z, Y, X, dagger=dagger)
+    if gl_by:
+        compute = make_gl_compute(Z, Y // gl_by, gl_by, X, dagger=dagger)
+    else:
+        compute = make_slice_compute(Z, Y, X, dagger=dagger)
     f32 = jnp.float32
 
     def kernel(psi_hbm, ut_hbm, *rest):
@@ -152,58 +161,72 @@ def _make_win_kernel(Z, Y, X, bt, T, kappa=None, clover=False,
 
 
 def _win_call(psi_k, U_k, Ut_k, A144, Y, bt, kappa, clover, dagger,
-              out_dtype):
+              out_dtype, gl_by=None):
     T, _, Z, YX = psi_k.shape
     assert T % bt == 0, (T, bt)
     X = YX // Y
     kernel = _make_win_kernel(Z, Y, X, bt, T, kappa=kappa, clover=clover,
-                              dagger=dagger, out_dtype=out_dtype)
+                              dagger=dagger, out_dtype=out_dtype,
+                              gl_by=gl_by)
+    if gl_by:
+        assert Y % gl_by == 0, (Y, gl_by)
+        S, L = Z * (Y // gl_by), gl_by * X
+    else:
+        S, L = Z, YX
+    rs = lambda a: a.reshape(a.shape[:-2] + (S, L))
+    psi_g, U_g, Ut_g = rs(psi_k), rs(U_k), rs(Ut_k)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),         # psi
         pl.BlockSpec(memory_space=pl.ANY),         # Ut (for the t0-1 row)
-        pl.BlockSpec((bt, 4, 18, Z, YX), lambda i: (i, 0, 0, 0, 0),
+        pl.BlockSpec((bt, 4, 18, S, L), lambda i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),     # U window
     ]
-    args = [psi_k, Ut_k, U_k]
+    args = [psi_g, Ut_g, U_g]
     if clover:
-        in_specs.append(pl.BlockSpec((bt, 144, Z, YX),
+        in_specs.append(pl.BlockSpec((bt, 144, S, L),
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(A144)
-    return pallas_call_auto(
+        args.append(rs(A144))
+    out = pallas_call_auto(
         kernel,
         grid=(T // bt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bt, 24, Z, YX), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bt, 24, S, L), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(psi_k.shape, out_dtype),
+        out_shape=jax.ShapeDtypeStruct((T, 24, S, L), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bt + 2, 24, Z, YX), psi_k.dtype),
-            pltpu.VMEM((2, 1, 18, Z, YX), U_k.dtype),
+            pltpu.VMEM((2, bt + 2, 24, S, L), psi_k.dtype),
+            pltpu.VMEM((2, 1, 18, S, L), U_k.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
     )(*args)
+    return out.reshape(psi_k.shape)
 
 
-@partial(jax.jit, static_argnames=("Y", "bt", "dagger", "out_dtype"))
+@partial(jax.jit, static_argnames=("Y", "bt", "dagger", "out_dtype",
+                                   "gl_by"))
 def dslash_hop_pallas_win(psi_k, U_k, Ut_k, Y: int, bt: int = 4,
-                          dagger: bool = False, out_dtype=None):
+                          dagger: bool = False, out_dtype=None,
+                          gl_by: int = None):
     """Hopping term, t-windowed modular-DMA kernel (periodic torus).
 
     psi_k [T,24,Z,YX]; U_k [T,4,18,Z,YX]; Ut_k [T,18,Z,YX] = U_k[:,3].
     Inputs may be bf16 (upcast in-kernel, f32 arithmetic); output dtype is
     f32 unless out_dtype is given (e.g. bf16 for an all-bf16 pipeline).
+    gl_by: grouped-lane tiling for large volumes (see _make_win_kernel).
     """
     return _win_call(psi_k, U_k, Ut_k, None, Y, bt, None, False, dagger,
-                     out_dtype or jnp.float32)
+                     out_dtype or jnp.float32, gl_by=gl_by)
 
 
 @partial(jax.jit, static_argnames=("Y", "bt", "kappa", "dagger",
-                                   "has_clover"))
+                                   "has_clover", "gl_by"))
 def wilson_m_pallas_win(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
                         bt: int = 4, dagger: bool = False,
-                        has_clover: bool = False):
+                        has_clover: bool = False, gl_by: int = None):
     """Fused M(dag): A psi - kappa hop, t-windowed kernel.  A144
     [T,144,Z,YX] packed chiral clover blocks (ignored unless has_clover)."""
     return _win_call(psi_k, U_k, Ut_k, A144 if has_clover else None, Y, bt,
-                     kappa, has_clover, dagger, jnp.float32)
+                     kappa, has_clover, dagger, jnp.float32, gl_by=gl_by)

@@ -108,8 +108,15 @@ def pack_parity_gauge(U_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
 
 def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
                         combine_kappa2, post_clover: bool = False,
-                        comb_clover: bool = False):
+                        comb_clover: bool = False, by: int = None):
     """Parity-restricted hop kernel body.
+
+    by (optional): grouped-lane tiling — the [Z, Y*Xh] slice views as
+    [Z*NBy, by*Xh] (NBy = Y/by, same linear order), keeping whole-t-slice
+    blocks under the ~256-lane compile wall at large volumes (YXh = 512 at
+    32^3).  Shift rules follow dslash_kernel.make_gl_compute: y is a lane
+    roll with a two-level group-edge select, z an exact sublane roll by
+    NBy; the packed-x select logic is untouched (x rows stay lane-local).
 
     refs: pm, pc, pp (input-parity psi t-1/t/t+1), Uo (output-parity links,
     centre), Ui (input-parity links, centre), Utm (input-parity t-links at
@@ -127,11 +134,35 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
     (out = A_ee pe - kappa^2 hop).  Blocks are packed as in
     dslash_kernel.pack_clover_kernel144: idx = ((chi*6 + k)*6 + j)*2 + r.
     """
-    YXh = Y * Xh
+    NBy = (Y // by) if by else 1
+    S = Z * NBy
+    L = (by if by else Y) * Xh
     f32 = jnp.float32
 
     def roll(a, shift, axis):
         return pltpu.roll(a, shift % a.shape[axis], axis=axis)
+
+    def zshift(a, sign):
+        """a at z+sign (exact sublane roll; stride NBy in gl tiling)."""
+        return roll(a, -sign * NBy, axis=0)
+
+    def yshift(a, sign):
+        """a at y+sign: plain lane roll full-width; two-level group-edge
+        select in gl tiling (cross to sublane +/-1 at the group edge, and
+        jump -(NBy-1) sublanes at the global y wrap)."""
+        if not by:
+            return roll(a, -sign * Xh, axis=1)
+        main = roll(a, -sign * Xh, axis=1)
+        cross = roll(roll(a, -sign, axis=0), sign * (by - 1) * Xh, axis=1)
+        ywrap = roll(roll(a, sign * (NBy - 1), axis=0),
+                     sign * (by - 1) * Xh, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+        yi = lane // Xh
+        yb = sub % NBy
+        edge = (yi == (by - 1 if sign > 0 else 0))
+        bedge = (yb == (NBy - 1 if sign > 0 else 0))
+        return jnp.where(edge, jnp.where(bedge, ywrap, cross), main)
 
     def clover_mv(A_ref, get):
         """res[s][c] = (re, im) of the chiral 6x6 complex matvec of the
@@ -164,8 +195,8 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
         Acomb_ref = rest.pop(0) if comb_clover else None
         (out_ref,) = rest
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (Z, YXh), 1) % Xh
-        oo = off_ref[0, 0] > 0.5                     # [Z, YXh] bool
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1) % Xh
+        oo = off_ref[0, 0] > 0.5                     # [S, L] bool
 
         def xroll(a, sign):
             """a at packed column xh+sign with x wrap inside the row."""
@@ -215,23 +246,23 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
             get_psi=lambda s, c, r: x_bwd(pc(s, c, r)),
             get_link=lambda a, b, r: (x_bwd(ui(0, b, a, r)) if r == 0
                                       else -x_bwd(ui(0, b, a, r))))
-        # ---- y/z: packed column is invariant -> plain rolls ----
+        # ---- y/z: packed column is invariant -> lattice-axis shifts ----
         hop(1, True,
-            get_psi=lambda s, c, r: roll(pc(s, c, r), -Xh, axis=1),
+            get_psi=lambda s, c, r: yshift(pc(s, c, r), +1),
             get_link=lambda a, b, r: uo(1, a, b, r))
         hop(1, False,
-            get_psi=lambda s, c, r: roll(pc(s, c, r), Xh, axis=1),
+            get_psi=lambda s, c, r: yshift(pc(s, c, r), -1),
             get_link=lambda a, b, r: (
-                roll(ui(1, b, a, r), Xh, axis=1) if r == 0
-                else -roll(ui(1, b, a, r), Xh, axis=1)))
+                yshift(ui(1, b, a, r), -1) if r == 0
+                else -yshift(ui(1, b, a, r), -1)))
         hop(2, True,
-            get_psi=lambda s, c, r: roll(pc(s, c, r), -1, axis=0),
+            get_psi=lambda s, c, r: zshift(pc(s, c, r), +1),
             get_link=lambda a, b, r: uo(2, a, b, r))
         hop(2, False,
-            get_psi=lambda s, c, r: roll(pc(s, c, r), 1, axis=0),
+            get_psi=lambda s, c, r: zshift(pc(s, c, r), -1),
             get_link=lambda a, b, r: (
-                roll(ui(2, b, a, r), 1, axis=0) if r == 0
-                else -roll(ui(2, b, a, r), 1, axis=0)))
+                zshift(ui(2, b, a, r), -1) if r == 0
+                else -zshift(ui(2, b, a, r), -1)))
         # ---- t: pipelined neighbour blocks ----
         hop(3, True,
             get_psi=lambda s, c, r: pp(s, c, r),
@@ -271,10 +302,15 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2"))
+def _gl_view(a, S, L):
+    """[T, ..., Z, Y*Xh] -> [T, ..., S, L] (free reshape, same order)."""
+    return a.reshape(a.shape[:-2] + (S, L))
+
+
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2", "by"))
 def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
                       dagger: bool = False, kappa2=None, psi_out=None,
-                      A_post=None, A_comb=None):
+                      A_post=None, A_comb=None, by: int = None):
     """Hop from the input parity to the output parity on packed fields.
 
     psi_in   [T, 24, Z, Y*Xh]  input-parity spinor
@@ -290,50 +326,63 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
                                  diagonal term: out = A psi_out - k^2 hop
                                  (asymmetric even-even pc second pass)
     Links/blocks may be bf16 (f32 in-kernel arithmetic).
+    by: grouped-lane tiling (required above the ~256-lane compile wall,
+        i.e. Y*Xh > 256 — see _make_parity_kernel).
     """
     T, _, Z, YXh = psi_in.shape
     Xh = YXh // Y
+    if by:
+        assert Y % by == 0, (Y, by)
+        S, L = Z * (Y // by), by * Xh
+    else:
+        S, L = Z, YXh
     kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2,
                                  post_clover=A_post is not None,
-                                 comb_clover=A_comb is not None)
+                                 comb_clover=A_comb is not None, by=by)
 
     def ps(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
             len(shape) - 1), memory_space=pltpu.VMEM)
 
     in_specs = [
-        ps((1, 24, Z, YXh), lambda i: (i - 1) % T),
-        ps((1, 24, Z, YXh), lambda i: i),
-        ps((1, 24, Z, YXh), lambda i: (i + 1) % T),
-        ps((1, 4, 18, Z, YXh), lambda i: i),
-        ps((1, 4, 18, Z, YXh), lambda i: i),
-        ps((1, 18, Z, YXh), lambda i: (i - 1) % T),
-        ps((1, 1, Z, YXh), lambda i: i),
+        ps((1, 24, S, L), lambda i: (i - 1) % T),
+        ps((1, 24, S, L), lambda i: i),
+        ps((1, 24, S, L), lambda i: (i + 1) % T),
+        ps((1, 4, 18, S, L), lambda i: i),
+        ps((1, 4, 18, S, L), lambda i: i),
+        ps((1, 18, S, L), lambda i: (i - 1) % T),
+        ps((1, 1, S, L), lambda i: i),
     ]
-    args = [psi_in, psi_in, psi_in, U_out, U_in, Ut_in, off_out]
+    pg = _gl_view(psi_in, S, L)
+    args = [pg, pg, pg, _gl_view(U_out, S, L), _gl_view(U_in, S, L),
+            _gl_view(Ut_in, S, L), _gl_view(off_out, S, L)]
     if A_post is not None:
-        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
-        args.append(A_post)
+        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        args.append(_gl_view(A_post, S, L))
     if kappa2 is not None:
-        in_specs.append(ps((1, 24, Z, YXh), lambda i: i))
-        args.append(psi_out)
+        in_specs.append(ps((1, 24, S, L), lambda i: i))
+        args.append(_gl_view(psi_out, S, L))
     if A_comb is not None:
         assert kappa2 is not None, "A_comb requires the combine pass"
-        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
-        args.append(A_comb)
-    return pallas_call_auto(
+        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        args.append(_gl_view(A_comb, S, L))
+    out = pallas_call_auto(
         kernel,
         grid=(T,),
         in_specs=in_specs,
-        out_specs=ps((1, 24, Z, YXh), lambda i: i),
-        out_shape=jax.ShapeDtypeStruct(psi_in.shape, psi_in.dtype),
+        out_specs=ps((1, 24, S, L), lambda i: i),
+        out_shape=jax.ShapeDtypeStruct((T, 24, S, L), psi_in.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(*args)
+    return out.reshape(psi_in.shape)
 
 
-@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2"))
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2", "by"))
 def parity_hop_pallas_ext(psi_ext, U_out, U_in, Ut_in_shift, off_out,
                           Y: int, dagger: bool = False, kappa2=None,
-                          psi_out=None, A_post=None, A_comb=None):
+                          psi_out=None, A_post=None, A_comb=None,
+                          by: int = None):
     """t-halo-extended parity hop — the sharded twin of parity_hop_pallas.
 
     psi_ext [T_loc+2, 24, Z, Y*Xh] (rows 0/-1 are ppermuted halos of the
@@ -345,40 +394,50 @@ def parity_hop_pallas_ext(psi_ext, U_out, U_in, Ut_in_shift, off_out,
     Tl = U_out.shape[0]
     _, _, Z, YXh = psi_ext.shape
     Xh = YXh // Y
+    if by:
+        assert Y % by == 0, (Y, by)
+        S, L = Z * (Y // by), by * Xh
+    else:
+        S, L = Z, YXh
     kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2,
                                  post_clover=A_post is not None,
-                                 comb_clover=A_comb is not None)
+                                 comb_clover=A_comb is not None, by=by)
 
     def ps(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
             len(shape) - 1), memory_space=pltpu.VMEM)
 
     in_specs = [
-        ps((1, 24, Z, YXh), lambda i: i),
-        ps((1, 24, Z, YXh), lambda i: i + 1),
-        ps((1, 24, Z, YXh), lambda i: i + 2),
-        ps((1, 4, 18, Z, YXh), lambda i: i),
-        ps((1, 4, 18, Z, YXh), lambda i: i),
-        ps((1, 18, Z, YXh), lambda i: i),
-        ps((1, 1, Z, YXh), lambda i: i),
+        ps((1, 24, S, L), lambda i: i),
+        ps((1, 24, S, L), lambda i: i + 1),
+        ps((1, 24, S, L), lambda i: i + 2),
+        ps((1, 4, 18, S, L), lambda i: i),
+        ps((1, 4, 18, S, L), lambda i: i),
+        ps((1, 18, S, L), lambda i: i),
+        ps((1, 1, S, L), lambda i: i),
     ]
-    args = [psi_ext, psi_ext, psi_ext, U_out, U_in, Ut_in_shift, off_out]
+    pg = _gl_view(psi_ext, S, L)
+    args = [pg, pg, pg, _gl_view(U_out, S, L), _gl_view(U_in, S, L),
+            _gl_view(Ut_in_shift, S, L), _gl_view(off_out, S, L)]
     if A_post is not None:
-        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
-        args.append(A_post)
+        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        args.append(_gl_view(A_post, S, L))
     if kappa2 is not None:
-        in_specs.append(ps((1, 24, Z, YXh), lambda i: i))
-        args.append(psi_out)
+        in_specs.append(ps((1, 24, S, L), lambda i: i))
+        args.append(_gl_view(psi_out, S, L))
     if A_comb is not None:
-        in_specs.append(ps((1, 144, Z, YXh), lambda i: i))
-        args.append(A_comb)
-    return pallas_call_auto(
+        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        args.append(_gl_view(A_comb, S, L))
+    out = pallas_call_auto(
         kernel,
         grid=(Tl,),
         in_specs=in_specs,
-        out_specs=ps((1, 24, Z, YXh), lambda i: i),
-        out_shape=jax.ShapeDtypeStruct((Tl, 24, Z, YXh), psi_ext.dtype),
+        out_specs=ps((1, 24, S, L), lambda i: i),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, S, L), psi_ext.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(*args)
+    return out.reshape((Tl,) + psi_ext.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +481,18 @@ class SchurDiracKernelPacked:
             self.U_k = self.U_k.astype(jnp.bfloat16)
         T, _, _, Z, YX = self.U_k.shape
         Xh = YX // self.Y // 2
+        # grouped-lane tiling above the ~256-lane compile wall (packed
+        # YXh = 512 at 32^3) — same rule as WilsonDiracKernel's gl default
+        self.by = None
+        if self.Y * Xh > 256:
+            feasible = [b for b in (4, 8, 16)
+                        if self.Y % b == 0 and b < self.Y
+                        and 128 <= b * Xh <= 512]
+            if not feasible:
+                raise ValueError(
+                    f"no grouped-lane tiling fits packed width "
+                    f"Y*Xh={self.Y * Xh} (Y={self.Y}, Xh={Xh})")
+            self.by = min(feasible, key=lambda b: abs(b * Xh - 256))
         self.U_e = pack_parity_gauge(self.U_k, self.Y, 0)
         self.U_o = pack_parity_gauge(self.U_k, self.Y, 1)
         self.Ut_e = self.U_e[:, 3]
@@ -454,11 +525,12 @@ class SchurDiracKernelPacked:
         # identical two-pass structure with the dagger hop kernels (the
         # chiral blocks are Hermitian, A^dag = A)
         d_oe = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=self.Y,
-                                 dagger=dagger, A_post=self.Ainv_o)
+                                 dagger=dagger, A_post=self.Ainv_o,
+                                 by=self.by)
         return parity_hop_pallas(d_oe, U_e, U_o, Ut_o, off_e, Y=self.Y,
                                  dagger=dagger,
                                  kappa2=float(self.kappa) ** 2, psi_out=pe,
-                                 A_comb=self.A_e)
+                                 A_comb=self.A_e, by=self.by)
 
     def M(self, pe):
         return self._apply(pe, self.U_e, self.Ut_e, self.U_o, self.Ut_o,
@@ -483,14 +555,14 @@ class SchurDiracKernelPacked:
         """(fn, args) with the packed link/mask operands as explicit jit
         arguments (keeps them out of the eigensolver-cycle HLO; see
         WilsonDiracKernel.operator_with_args)."""
-        Y, k2 = self.Y, float(self.kappa) ** 2
+        Y, k2, by = self.Y, float(self.kappa) ** 2, self.by
 
         def m(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o, dagger):
             d = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=Y,
-                                  dagger=dagger, A_post=Ainv_o)
+                                  dagger=dagger, A_post=Ainv_o, by=by)
             return parity_hop_pallas(d, U_e, U_o, Ut_o, off_e, Y=Y,
                                      dagger=dagger, kappa2=k2, psi_out=pe,
-                                     A_comb=A_e)
+                                     A_comb=A_e, by=by)
 
         fns = {
             EigOperator.M: lambda p, *a: m(p, *a, False),

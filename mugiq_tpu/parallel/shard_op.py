@@ -180,7 +180,8 @@ class ShardedWilsonKernel:
 # ---------------------------------------------------------------------------
 
 def make_sharded_schur_m(mesh: Mesh, Y: int, kappa: float,
-                         dagger: bool = False, has_clover: bool = False):
+                         dagger: bool = False, has_clover: bool = False,
+                         by: int = None):
     """Packed even-even Schur M(dag) over a 1D 't' mesh.
 
     Returns fn(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o) on
@@ -213,11 +214,11 @@ def make_sharded_schur_m(mesh: Mesh, Y: int, kappa: float,
     def body(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o):
         d_o = parity_hop_pallas_ext(
             ext_t(pe), U_o, U_e, shift_ut(Ut_e), off_o, Y=Y, dagger=dagger,
-            A_post=Ainv_o if has_clover else None)
+            A_post=Ainv_o if has_clover else None, by=by)
         return parity_hop_pallas_ext(
             ext_t(d_o), U_e, U_o, shift_ut(Ut_o), off_e, Y=Y,
             dagger=dagger, kappa2=k2, psi_out=pe,
-            A_comb=A_e if has_clover else None)
+            A_comb=A_e if has_clover else None, by=by)
 
     spec = P("t")
     sharded = shard_map(
@@ -252,11 +253,12 @@ class ShardedSchurKernelPacked:
             T = self.U_e.shape[0]
             dummy = put(jnp.zeros((T, 1, 1, 1), self.U_e.dtype))
             self.A_e = self.Ainv_o = dummy
+        by = getattr(self.op, "by", None)
         self._m = make_sharded_schur_m(self.mesh, self.op.Y, self.op.kappa,
-                                       has_clover=has_c)
+                                       has_clover=has_c, by=by)
         self._mdag = make_sharded_schur_m(self.mesh, self.op.Y,
                                           self.op.kappa, dagger=True,
-                                          has_clover=has_c)
+                                          has_clover=has_c, by=by)
 
     def _args(self):
         return (self.U_e, self.Ut_e, self.U_o, self.Ut_o,

@@ -146,9 +146,9 @@ def _make_restart_update(ax, m, k, rdtype, field_shape=None):
 
     @partial(jax.jit, donate_argnums=(0,))
     def restart_update(V, Qr, Qi, theta_sel):
-        Vk = rot(V, Qr, Qi)                       # [k, ...]
+        Vk = rot(V, Qr, Qi)                       # [k, ...] (rdtype)
         vres = V[m]
-        V = V.at[:k].set(Vk).at[k].set(vres)
+        V = V.at[:k].set(Vk.astype(V.dtype)).at[k].set(vres)
         Tn = jnp.zeros((m, m, 2), rdtype)
         Tn = Tn.at[jnp.arange(k), jnp.arange(k), 0].set(theta_sel)
         return V, Tn
@@ -183,8 +183,13 @@ def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
         """Step with prefix V[:hi] (valid for j <= hi-1)."""
         def step(j, carry):
             V, Tmat, _ = carry
-            w = matvec(jax.lax.dynamic_index_in_dim(V, j, keepdims=False),
-                       *op_args)
+            # V may be stored bf16 (mixed-precision basis): the stored
+            # vector feeds the operator AS-IS (the pallas kernels upcast
+            # in-VMEM — halves the operator's input traffic), the result
+            # is upcast, and all algebra stays rdtype (f32) — einsums
+            # against the bf16 basis promote, only stores round
+            v = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
+            w = matvec(v, *op_args).astype(rdtype)
             Vp = V[:hi]
             idxh = jnp.arange(hi)
             maskh = (idxh <= j)
@@ -199,7 +204,8 @@ def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
             Tmat = jnp.where(setcol[..., None], col[:, None, :], Tmat)
             beta = _norm(w)
             vnext = w / jnp.maximum(beta, jnp.finfo(rdtype).tiny)
-            V = jax.lax.dynamic_update_index_in_dim(V, vnext, j + 1, axis=0)
+            V = jax.lax.dynamic_update_index_in_dim(
+                V, vnext.astype(V.dtype), j + 1, axis=0)
             beta_rc = jnp.stack([beta, jnp.zeros((), rdtype)])
             sub = (idx[:, None] == j + 1) & (idx[None, :] == j)
             Tmat = jnp.where(sub[..., None], beta_rc, Tmat)
@@ -244,6 +250,7 @@ def lanczos_hermitian_realpair(
     matvec_args: tuple = (),
     sharding=None,
     compile_cache: Optional[dict] = None,
+    basis_dtype=None,
 ) -> LanczosPlanarResult:
     """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields.
 
@@ -258,6 +265,14 @@ def lanczos_hermitian_realpair(
     compile to sharded reductions (all-reduce over ICI) with matvec a
     sharded operator — nothing else changes; pass a matvec built for the
     same mesh (ShardedWilsonKernel).
+
+    basis_dtype (optional, e.g. jnp.bfloat16): storage dtype of the Krylov
+    basis V.  All arithmetic (operator, dots, orthogonalization, T) stays
+    in v0's dtype — only stores into V round, so a bf16 basis halves the
+    dominant HBM traffic of the cycle algebra at large volumes (the
+    QUDA half-precision eigensolver analog).  Final residuals bottom out
+    near bf16 storage eps (~4e-3 relative) — deflation-grade, not
+    spectroscopy-grade.  Default: v0.dtype (exact f32 path).
 
     compile_cache (optional): a caller-owned dict; the jitted cycle /
     restart-update executables are stashed there so REPEATED eigensolves
@@ -275,9 +290,10 @@ def lanczos_hermitian_realpair(
     k = n_keep or min(n_ev + max(1, (m - n_ev) // 2), m - 2)
     k = max(k, n_ev)
 
+    bdtype = basis_dtype or rdtype
     _, _, rotate = _make_ops(ax)
     cache = compile_cache if compile_cache is not None else {}
-    ckey = (m, k, shape, str(rdtype), ax, len(matvec_args))
+    ckey = (m, k, shape, str(rdtype), str(bdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
         cache.clear()
         cache["key"] = ckey
@@ -294,7 +310,8 @@ def lanczos_hermitian_realpair(
     pack = cache["pack"]
 
     v0n = v0 / _norm(v0)
-    V = jnp.zeros((m + 1,) + shape, dtype=rdtype).at[0].set(v0n)
+    V = jnp.zeros((m + 1,) + shape, dtype=bdtype).at[0].set(
+        v0n.astype(bdtype))
     if sharding is not None:
         V = jax.device_put(V, sharding)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)

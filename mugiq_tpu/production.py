@@ -208,7 +208,8 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                              mesh=None, seed: int = 1234,
                              autotune: bool = False,
                              precision: str = "f32",
-                             even_odd: bool = False):
+                             even_odd: bool = False,
+                             basis_precision: str = "f32"):
     """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
     The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
@@ -221,6 +222,10 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     and arithmetic (QUDA half-precision analog).  even_odd=True
     eigensolves the even-even Schur-preconditioned operator on PACKED
     half-volume fields (pc_solve analog; halves memory and op cost).
+    basis_precision="bf16": store the Krylov basis bf16 with f32
+    arithmetic — halves the dominant cycle-algebra HBM traffic at large
+    volumes; residuals bottom out near bf16 eps (deflation-grade; see
+    planar.lanczos basis_dtype).
     Returns (LanczosPlanarResult, evals, sigma, resids).
     """
     geom = LatticeGeometry(gauge.dims)
@@ -233,6 +238,14 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                 op.tune()
 
     lanczos_kw = {}
+    if basis_precision == "bf16":
+        if eig.block_size > 1:
+            raise ValueError("basis_precision='bf16' is implemented for "
+                             "the scalar Lanczos only (block_size=1)")
+        lanczos_kw["basis_dtype"] = jnp.bfloat16
+    elif basis_precision != "f32":
+        raise ValueError(f"basis_precision must be f32|bf16: "
+                         f"{basis_precision}")
     if mesh is not None:
         from .parallel.shard_op import (ShardedWilsonKernel,
                                         ShardedSchurKernelPacked,
@@ -259,6 +272,9 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
         if eig.use_poly_acc:
             raise ValueError("Chebyshev acceleration requires a normal "
                              "operator (MdagM/MMdag)")
+        if "basis_dtype" in lanczos_kw:
+            raise ValueError("basis_precision='bf16' is implemented for "
+                             "the Hermitian Lanczos only (MdagM/MMdag)")
         from .eig.arnoldi_realpair import arnoldi_krylov_schur_realpair
         nn_fn, nn_args = op.operator_with_args(eig.operator)
         with phase_timer("eigensolve"):
@@ -346,6 +362,7 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
                             use_mg: bool = False, mg=None,
                             mesh=None, autotune: bool = False,
                             precision: str = "f32",
+                            basis_precision: str = "f32",
                             seed: int = 1234) -> ProductionResult:
     """Deflated disconnected loops, all compute on TPU f32.
 
@@ -359,6 +376,11 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     sharded over the mesh (memory path to 32^3x64: V is ~10 GB at nKr=48),
     and the measurement propagates the sharding through XLA."""
     if use_mg:
+        if basis_precision != "f32":
+            # the MG path eigensolves the COARSE operator — its basis is
+            # tiny, mixed-precision storage buys nothing there
+            log("note: basis_precision is ignored on the MG-deflated path "
+                "(coarse-operator basis is small)")
         return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
                                            mg, U_loop_np, keep_pos, seed,
                                            mesh=mesh, autotune=autotune,
@@ -367,12 +389,17 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
     cp = LoopComputeParam.build(geom, loop_param)
     res, evals, sigma, rs = compute_evecs_production(
         U_np, gauge, inv, eig, mesh=mesh, seed=seed, autotune=autotune,
-        precision=precision)
+        precision=precision, basis_precision=basis_precision)
 
-    # kernel layout -> planar for the measurement
+    # kernel layout -> planar for the measurement.  The kernel-layout evec
+    # block is dead after the relayout: donate it and drop the reference —
+    # at 32^3x64 each copy is n_ev * 200 MB of HBM and the measurement's
+    # displacement chain needs the headroom (measured OOM without this).
     Yext = geom.dims[1]
-    to_planar = jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Yext)))
+    to_planar = jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Yext)),
+                        donate_argnums=0)
     evecs_pl = to_planar(res.evecs)          # [n, 2, 4, 3, T, Z, Y, X]
+    res.evecs = None
 
     data_mom, pos_np = _measure_production(
         geom, loop_param, cp, evecs_pl, sigma,
@@ -401,6 +428,11 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         evecs_pl = jax.device_put(evecs_pl, planar_spinor_sharding(mesh))
         U_loop_pl = jax.device_put(U_loop_pl, planar_gauge_sharding(mesh))
 
+    # jit the displacement step (eager planar displacement materializes
+    # every unrolled temporary — OOM at 32^3x64) and donate the running
+    # displaced block so each chain step reuses the previous buffer
+    disp_step = jax.jit(covariant_displace_planar, static_argnums=2,
+                        donate_argnums=1)
     slots = [None] * cp.n_loop
     with phase_timer("loop-contraction"):
         slots[0] = contract(evecs_pl, evecs_pl, inv_sigma)
@@ -408,7 +440,8 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
             vR = evecs_pl
             count = 0
             for idisp in range(1, stop + 1):
-                vR = covariant_displace_planar(U_loop_pl, vR, dstr)
+                vR = disp_step(U_loop_pl,
+                               vR if idisp > 1 else vR + 0.0, dstr)
                 if start <= idisp <= stop:
                     slots[cp.n_loop_offset[ie] + count] = contract(
                         evecs_pl, vR, inv_sigma)

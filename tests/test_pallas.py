@@ -236,3 +236,37 @@ def test_gl_kernel_clover_matches_base(dirac):
         psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, by=2,
         has_clover=True))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_glt_kernel_matches_base(dirac):
+    """t-blocked grouped-lane kernel vs the base kernel (hop + fused M)."""
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=13)
+    ref_hop = np.asarray(dk.dslash_hop_pallas(psi_k, U_k, U_k[:, 3], Y=Y))
+    for bt in (2, 4):
+        got = np.asarray(dk.dslash_hop_pallas_glt(psi_k, U_k, U_k[:, 3],
+                                                  Y=Y, by=2, bt=bt))
+        np.testing.assert_allclose(got, ref_hop, atol=1e-5,
+                                   err_msg=f"hop bt={bt}")
+    for dagger in (False, True):
+        A0 = jnp.zeros((1,), jnp.float32)
+        ref_m = np.asarray(dk.wilson_m_pallas(
+            psi_k, U_k, U_k[:, 3], A0, Y=Y, kappa=0.12, dagger=dagger))
+        got = np.asarray(dk.wilson_m_pallas_glt(
+            psi_k, U_k, U_k[:, 3], A0, Y=Y, kappa=0.12, by=2, bt=2,
+            dagger=dagger))
+        np.testing.assert_allclose(got, ref_m, atol=1e-5,
+                                   err_msg=f"M dagger={dagger}")
+
+
+def test_glt_kernel_clover_matches_base(dirac):
+    from mugiq_tpu.clover_np import clover_field_np, clover_chiral_blocks_np
+
+    psi, psi_k, U_k = _kernel_fields(dirac, seed=14)
+    A = clover_field_np(np.asarray(dirac.U), dirac.kappa, 1.2)
+    A144 = dk.pack_clover_kernel144(jnp.asarray(clover_chiral_blocks_np(A)))
+    ref = np.asarray(dk.wilson_m_pallas(
+        psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, has_clover=True))
+    got = np.asarray(dk.wilson_m_pallas_glt(
+        psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, by=2, bt=4,
+        has_clover=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

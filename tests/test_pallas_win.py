@@ -90,3 +90,25 @@ def test_win_hop_bf16_inputs(setup):
     err = np.abs(np.asarray(got) - base).max()
     scale = np.abs(base).max()
     assert err < 0.03 * scale, (err, scale)
+
+
+@pytest.mark.parametrize("bt", [2, 4])
+def test_win_gl_hop_matches_base(setup, bt):
+    """Grouped-lane t-window kernel (large-lattice manual-DMA variant)."""
+    _, psi_k, U_k, base = setup
+    got = dwk.dslash_hop_pallas_win(psi_k, U_k, U_k[:, 3], Y=Y, bt=bt,
+                                    gl_by=2)
+    np.testing.assert_allclose(np.asarray(got), base, atol=1e-5)
+
+
+def test_win_gl_m_matches_base(setup):
+    _, psi_k, U_k, base = setup
+    A0 = jnp.zeros((1,), jnp.float32)
+    for dagger in (False, True):
+        ref = dk.wilson_m_pallas(psi_k, U_k, U_k[:, 3], A0, Y=Y,
+                                 kappa=0.12, dagger=dagger)
+        got = dwk.wilson_m_pallas_win(psi_k, U_k, U_k[:, 3], A0, Y=Y,
+                                      kappa=0.12, bt=2, gl_by=2,
+                                      dagger=dagger)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"dagger={dagger}")

@@ -267,3 +267,24 @@ def test_production_pos_space_write(tmp_path):
             got = arr[..., 0] + 1j * arr[..., 1]
             np.testing.assert_allclose(got, expect[0, ig], rtol=2e-5,
                                        atol=1e-5)
+
+
+def test_production_bf16_basis_eigensolve():
+    """Mixed-precision (bf16-stored) Krylov basis: eigenvalues agree with
+    the f32 run to ~bf16 storage accuracy (deflation-grade)."""
+    from mugiq_tpu.production import compute_evecs_production
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=9)
+    ep = EigParam(n_ev=4, n_kr=16, operator=EigOperator.MdagM,
+                  tol=1e-5, max_restarts=60, check_interval=2)
+    _, ev32, _, _ = compute_evecs_production(np.asarray(U), gp, ip, ep)
+    ep16 = EigParam(n_ev=4, n_kr=16, operator=EigOperator.MdagM,
+                    tol=3e-3, max_restarts=60, check_interval=2)
+    res, ev16, _, rs16 = compute_evecs_production(
+        np.asarray(U), gp, ip, ep16, basis_precision="bf16")
+    np.testing.assert_allclose(np.asarray(ev16), np.asarray(ev32),
+                               rtol=3e-2)
+    assert max(rs16) < 0.1

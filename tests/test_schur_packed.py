@@ -206,3 +206,37 @@ def test_production_pc_eigensolve(setup):
     ref = np.linalg.eigvalsh((A_ee + A_ee.conj().T) / 2)[:3]
     np.testing.assert_allclose(np.sort(evals), ref, rtol=1e-3)
     assert max(resids) < 5e-4
+
+
+def test_packed_gl_tiling_matches_fullwidth(setup):
+    """Grouped-lane parity kernel (large-lattice tiling, by<Y) matches the
+    full-width packed kernel exactly; clover variant included."""
+    dirac, U_k, psi_k = setup
+    pc = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y)
+    pe = pc.pack_even(psi_k)
+    ref = {n: np.asarray(getattr(pc, n)(pe)) for n in ("M", "Mdag")}
+
+    pc_gl = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y)
+    pc_gl.by = 2                  # force the gl tiling (NBy=2, L=2*Xh)
+    for name in ("M", "Mdag"):
+        got = np.asarray(getattr(pc_gl, name)(pe))
+        np.testing.assert_allclose(got, ref[name], atol=1e-6, err_msg=name)
+
+
+def test_packed_gl_tiling_clover(setup):
+    from mugiq_tpu.clover_np import clover_field_np, clover_chiral_blocks_np
+
+    dirac, U_k, psi_k = setup
+    A = clover_field_np(np.asarray(dirac.U), KAPPA, 1.0)
+    A_blocks = jnp.asarray(clover_chiral_blocks_np(A)).reshape(
+        GEOM.dims[3], 2, 6, 6, 2, GEOM.dims[2], GEOM.dims[1] * GEOM.dims[0])
+    pc = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y,
+                                   A_blocks=A_blocks)
+    pe = pc.pack_even(psi_k)
+    ref = np.asarray(pc.M(pe))
+
+    pc_gl = sk.SchurDiracKernelPacked(U_k=U_k, kappa=KAPPA, Y=Y,
+                                      A_blocks=A_blocks)
+    pc_gl.by = 2
+    got = np.asarray(pc_gl.M(pe))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
