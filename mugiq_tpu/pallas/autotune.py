@@ -154,29 +154,30 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
     # grouped-lane kernels: whole t-slice per grid step at any volume
     # (lane axis regrouped to by*X; at 32^3x64 the f32 variant runs at the
     # streaming-traffic roofline — 687 GFLOP/s vs yb4's 267)
-    for by in (4, 8, 16):
-        if Y % by == 0 and by < Y and 128 <= by * X <= 512:
-            variants[f"gl{by}"] = lambda p, U, Ut, A, b=by: (
-                wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
-                                   dagger=dagger, has_clover=has_clover))
-            # t-blocked gl: psi refetch (bt+2)/bt — measured SLOWER than gl
-            # at 32^3 (BlockSpec pipelining degrades with bt-sized blocks);
-            # kept in the sweep for other shapes.  bt=4 f32 may exceed
-            # VMEM (tune catches the compile failure).
-            for bt in (2, 4):
-                if T % bt == 0 and T > bt:
-                    variants[f"glt{by}.{bt}"] = (
-                        lambda p, U, Ut, A, b=by, t=bt: wilson_m_pallas_glt(
-                            p, U, Ut, A, Y=Y, kappa=kappa, by=b, bt=t,
-                            dagger=dagger, has_clover=has_clover))
-            # manual-DMA t-window on the gl layout: fewer DMA streams AND
-            # (bt+2)/bt psi traffic — the DMA-structure-bound candidate
-            for bt in (2, 4):
-                if T % bt == 0 and T > bt:
-                    variants[f"wing{by}.{bt}"] = (
-                        lambda p, U, Ut, A, b=by, t=bt: wilson_m_pallas_win(
-                            p, U, Ut, A, Y=Y, kappa=kappa, bt=t, gl_by=b,
-                            dagger=dagger, has_clover=has_clover))
+    gl_feasible = [b for b in (4, 8, 16)
+                   if Y % b == 0 and b < Y and 128 <= b * X <= 512]
+    for by in gl_feasible:
+        variants[f"gl{by}"] = lambda p, U, Ut, A, b=by: (
+            wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
+                               dagger=dagger, has_clover=has_clover))
+    if gl_feasible:
+        # t-blocked gl and manual-DMA t-window variants: both measured
+        # SLOWER than plain gl at 32^3x64 (BlockSpec pipelining degrades
+        # with bt-sized blocks; bench_glt32{,b}.json) — swept only at the
+        # default lane grouping to bound tune cost (each 32^3 compile is
+        # minutes on the tunnelled backend).  VMEM-infeasible combos fail
+        # to compile; tune catches that.
+        by0 = min(gl_feasible, key=lambda b: abs(b * X - 256))
+        for bt in (2, 4):
+            if T % bt == 0 and T > bt:
+                variants[f"glt{by0}.{bt}"] = (
+                    lambda p, U, Ut, A, b=by0, t=bt: wilson_m_pallas_glt(
+                        p, U, Ut, A, Y=Y, kappa=kappa, by=b, bt=t,
+                        dagger=dagger, has_clover=has_clover))
+                variants[f"wing{by0}.{bt}"] = (
+                    lambda p, U, Ut, A, b=by0, t=bt: wilson_m_pallas_win(
+                        p, U, Ut, A, Y=Y, kappa=kappa, bt=t, gl_by=b,
+                        dagger=dagger, has_clover=has_clover))
     # y-blocked kernels: fallback when no gl grouping fits
     for by in (2, 4, 8):
         if Y % by == 0 and by < Y and (by + 2) * X <= 512:

@@ -72,9 +72,10 @@ def pack_parity(field_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
     Xh = X // 2
     f = field_k.reshape(T, C, Z, Y, Xh, 2)
     off = jnp.asarray(_offsets_np(T, Z, Y, parity))         # [T, Z, Y]
-    idx = jnp.broadcast_to(off[:, None, :, :, None, None],
-                           (T, C, Z, Y, Xh, 1))
-    p = jnp.take_along_axis(f, idx, axis=-1)[..., 0]
+    # elementwise select, NOT take_along_axis: the gather lowering fails
+    # to compile on the tunnelled backend at 32^3x64 (605 MB operand)
+    sel = (off[:, None, :, :, None] == 0)
+    p = jnp.where(sel, f[..., 0], f[..., 1])
     return p.reshape(T, C, Z, Y * Xh)
 
 

@@ -87,20 +87,39 @@ def _make_ops(ax):
     ~8x slower on the chip.  J is applied to the single-vector side
     (dots) or to the small einsum OUTPUT (axpy_sub / rotate) instead."""
 
+    def match(small, V):
+        """Cast the SMALL einsum operand to V's dtype when V is stored in
+        a REDUCED precision.  A mixed-dtype einsum makes XLA CONVERT the
+        large operand (a full f32 copy of the multi-GB bf16 basis per
+        pass — measured 12x slower restarts at 32^3); same-dtype inputs +
+        preferred_element_type=f32 read V natively with f32 accumulation.
+        For f32/f64 bases this is a no-op (pref=None keeps native
+        accumulation — f64 especially must not downcast).  CPU backend:
+        keep the promoting mixed-dtype form — its dot runtime cannot
+        execute BF16 x BF16 = F32."""
+        if (V.dtype == jnp.bfloat16 and small.dtype != V.dtype
+                and jax.default_backend() != "cpu"):
+            return small.astype(V.dtype), jnp.float32
+        return small, None
+
     def dots(V, w):
         """d_i = <V_i, w> -> [m1, 2]; exactly one pass over V."""
-        wb = jnp.stack([w, _jrot(w, ax)])
-        return jnp.einsum("i...,b...->ib", V, wb)
+        wb, pref = match(jnp.stack([w, _jrot(w, ax)]), V)
+        return jnp.einsum("i...,b...->ib", V, wb,
+                          preferred_element_type=pref)
 
     def axpy_sub(w, d, V):
         """w - sum_i d_i V_i; exactly one pass over V."""
-        C = jnp.einsum("ib,i...->b...", d, V)
-        return w - C[0] + _jrot(C[1], ax)
+        dm, pref = match(d, V)
+        C = jnp.einsum("ib,i...->b...", dm, V,
+                       preferred_element_type=pref)
+        return w - C[0].astype(w.dtype) + _jrot(C[1].astype(w.dtype), ax)
 
     def rotate(V, Qr, Qi):
         """V'_k = sum_i Q[i,k] V_i (complex Q in parts) -> [k, ...]."""
-        Qb = jnp.stack([Qr, Qi])
-        C = jnp.einsum("bik,i...->bk...", Qb, V)
+        Qb, pref = match(jnp.stack([Qr, Qi]), V)
+        C = jnp.einsum("bik,i...->bk...", Qb, V,
+                       preferred_element_type=pref)
         return C[0] - _jrot(C[1], ax + 1)
 
     return dots, axpy_sub, rotate
@@ -138,8 +157,16 @@ def _make_restart_update(ax, m, k, rdtype, field_shape=None):
               and 2 * k * int(np.prod(field_shape)) * 4 > 2 * 1024**3)
 
     def rotate_lowmem(V, Qr, Qi):
-        Cr = jnp.einsum("ik,i...->k...", Qr, V)
-        Ci = jnp.einsum("ik,i...->k...", Qi, V)
+        # small operands cast down for reduced-precision bases (see
+        # _make_ops.match); f32/f64 bases keep native accumulation
+        bf = (V.dtype == jnp.bfloat16
+              and jax.default_backend() != "cpu")
+        pref = jnp.float32 if bf else None
+        cast = (lambda q: q.astype(V.dtype)) if bf else (lambda q: q)
+        Cr = jnp.einsum("ik,i...->k...", cast(Qr), V,
+                        preferred_element_type=pref)
+        Ci = jnp.einsum("ik,i...->k...", cast(Qi), V,
+                        preferred_element_type=pref)
         return Cr - _jrot(Ci, ax + 1)
 
     rot = rotate_lowmem if lowmem else rotate

@@ -209,7 +209,8 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                              autotune: bool = False,
                              precision: str = "f32",
                              even_odd: bool = False,
-                             basis_precision: str = "f32"):
+                             basis_precision: str = "f32",
+                             compile_cache: dict = None):
     """Production (kernel-layout, real-pair f32) eigensolve of MdagM/MMdag.
 
     The TPU twin of api.compute_evecs_mugiq (reference: computeEvecsMuGiq,
@@ -238,6 +239,10 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
                 op.tune()
 
     lanczos_kw = {}
+    if compile_cache is not None:
+        # caller-owned executable cache: repeated solves with the same
+        # operator/shapes skip re-tracing (see planar.lanczos)
+        lanczos_kw["compile_cache"] = compile_cache
     if basis_precision == "bf16":
         if eig.block_size > 1:
             raise ValueError("basis_precision='bf16' is implemented for "
@@ -446,7 +451,14 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
                     slots[cp.n_loop_offset[ie] + count] = contract(
                         evecs_pl, vR, inv_sigma)
                     count += 1
+            vR = None
         data_pos = jnp.stack(slots)          # [l, 2, 16, T, Z, Y, X]
+        del slots
+    # evecs and the loop gauge are dead past the contraction — free them
+    # before the momentum projection (the measurement runs within ~1 GB of
+    # the HBM ceiling at 32^3x64; a fragmented allocator OOMed here)
+    evecs_pl = None
+    U_loop_pl = None
 
     data_mom = None
     mapped = None
@@ -456,12 +468,14 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         ph = phase_matrix_planar(geom, loop_param.momenta,
                                  int(loop_param.ft_sign))
         with phase_timer("momentum-projection"):
-            mapped = map_gamma_g5_planar(data_pos)
+            # jit + donate: eager map/reshape materialize full-volume
+            # temporaries the allocator may not have room for
+            mapped = jax.jit(map_gamma_g5_planar)(data_pos)
             if mesh is not None:
                 # einsum form: (z,y,x) contraction psums across shards
                 lgtp = jax.jit(momentum_project_planar)(mapped, ph)
             else:
-                lgtp = momentum_project_production(mapped, ph)
+                lgtp = jax.jit(momentum_project_production)(mapped, ph)
         # multi-host: the projected data is tiny ([l,2,16,T,P]) — gather it
         # on every process (the reference's COMM_TIME MPI_Gather + world
         # Bcast epilogue, loop_mugiq.cpp:420-424)

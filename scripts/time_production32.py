@@ -55,7 +55,8 @@ def main():
                    fname_mom_h5="/tmp/loops32.h5")
 
     t0 = time.perf_counter()
-    res = compute_loop_production(U, gp, ip, ep, lp, precision="bf16")
+    res = compute_loop_production(U, gp, ip, ep, lp, precision="bf16",
+                                  basis_precision="bf16")
     dt = time.perf_counter() - t0
     print(f"TOTAL: {dt:.1f} s  restarts={res.n_restarts} "
           f"({'converged' if res.converged else 'capped'})", flush=True)
@@ -63,6 +64,8 @@ def main():
     print(f"max residual: {max(res.resids):.3e}", flush=True)
     print(f"data_mom shape: {res.data_mom.shape}; "
           f"finite: {np.all(np.isfinite(res.data_mom))}", flush=True)
+    from mugiq_tpu.utils import print_profile
+    print_profile()
 
 
 if __name__ == "__main__":

@@ -194,14 +194,20 @@ def test_yb_kernel_clover_matches_base(dirac):
 
 
 def test_wilson_kernel_default_variant_large_width():
-    """Above 256 lanes the untuned operator must default to a y-blocked
-    variant (the full-width kernels cannot compile there)."""
+    """Above 256 lanes the untuned operator must default to a grouped-lane
+    variant (the full-width kernels cannot compile there; yb is the
+    fallback when no grouping fits)."""
     T, Z, Yb, X = 4, 4, 16, 32           # YX = 512
     U_k = jnp.zeros((T, 4, 18, Z, Yb * X), jnp.float32)
     op = WilsonDiracKernel(U_k=U_k, kappa=0.1, Y=Yb)
-    assert op._m_variant.startswith("yb"), op._m_variant
+    assert op._m_variant.startswith("gl"), op._m_variant
     by = int(op._m_variant[2:])
-    assert Yb % by == 0 and (by + 2) * X <= 256
+    assert Yb % by == 0 and 128 <= by * X <= 512
+    # Y with no feasible lane grouping (6 has no divisor in {4,8,16}) ->
+    # yb fallback
+    op2 = WilsonDiracKernel(U_k=jnp.zeros((T, 4, 18, Z, 6 * 64),
+                                          jnp.float32), kappa=0.1, Y=6)
+    assert op2._m_variant.startswith("yb"), op2._m_variant
 
 
 def test_gl_kernel_matches_base(dirac):
@@ -267,6 +273,6 @@ def test_glt_kernel_clover_matches_base(dirac):
     ref = np.asarray(dk.wilson_m_pallas(
         psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, has_clover=True))
     got = np.asarray(dk.wilson_m_pallas_glt(
-        psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, by=2, bt=4,
+        psi_k, U_k, U_k[:, 3], A144, Y=Y, kappa=0.12, by=2, bt=2,
         has_clover=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -288,3 +288,29 @@ def test_production_bf16_basis_eigensolve():
     np.testing.assert_allclose(np.asarray(ev16), np.asarray(ev32),
                                rtol=3e-2)
     assert max(rs16) < 0.1
+
+
+def test_production_bf16_basis_poly_acc():
+    """Chebyshev-accelerated eigensolve with the bf16 basis: the whole
+    polynomial chain runs in bf16 (stored vector feeds the operator
+    as-is); eigenvalues still land at ~bf16 accuracy."""
+    from mugiq_tpu.production import compute_evecs_production
+
+    geom = LatticeGeometry((4, 4, 2, 4))
+    gp = GaugeParam(dims=geom.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
+    U = fields.weak_gauge(geom, eps=0.2, seed=9)
+    ep = EigParam(n_ev=4, n_kr=16, operator=EigOperator.MdagM,
+                  tol=1e-6, max_restarts=40, check_interval=2)
+    _, ev32, _, _ = compute_evecs_production(np.asarray(U), gp, ip, ep)
+    # a_max=0 -> auto spectral-edge estimate (the MdagM spectrum here tops
+    # out near (1+8k)^2 ~ 3.8; a window that cuts below the top edge makes
+    # the filter amplify the WRONG end)
+    epp = EigParam(n_ev=4, n_kr=16, operator=EigOperator.MdagM,
+                   tol=3e-3, max_restarts=40, check_interval=2,
+                   use_poly_acc=True, poly_deg=8, a_min=0.5, a_max=0.0)
+    res, evp, _, rsp = compute_evecs_production(
+        np.asarray(U), gp, ip, epp, basis_precision="bf16")
+    np.testing.assert_allclose(np.asarray(evp), np.asarray(ev32),
+                               rtol=3e-2)
+    assert max(rsp) < 0.1
