@@ -265,7 +265,8 @@ class MGEnvRC:
 
     @classmethod
     def build(cls, fine_op_rc, params: MGParam,
-              fast_fine_op=None, mesh=None) -> "MGEnvRC":
+              fast_fine_op=None, mesh=None,
+              setup_device=None) -> "MGEnvRC":
         """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
         (e.g. WilsonDiracRC).
 
@@ -278,7 +279,12 @@ class MGEnvRC:
         the smoothing runs per-vector on the sharded operator and the
         fine-volume rc null vectors are placed t/z-sharded so the transfer
         build and Galerkin probing distribute (the nc*ns fine-volume probe
-        batch is the MG memory hog at scale)."""
+        batch is the MG memory hog at scale).
+
+        setup_device (optional): device the smoothed null vectors are
+        placed on before the transfer build (a CPU device for large
+        single-chip volumes — production._compute_loop_production_mg's
+        host-side setup; fine_op_rc must live on the same device)."""
         n_coarse = params.n_level - 1
         level_ops = [fine_op_rc]
         transfers = []
@@ -296,24 +302,43 @@ class MGEnvRC:
                     bk = jnp.asarray(rng.standard_normal(
                         (params.n_vec[lev], T, 24, Z, Y * X)),
                         dtype=jnp.float32)
+                    # operator operands threaded as jit ARGUMENTS: a
+                    # closure over fast_fine_op embeds the links as HLO
+                    # constants — a 600+ MB compile request at 32^3x64
+                    # that the tunnelled backend rejects (HTTP 413)
+                    from ..params import EigOperator
+                    ffn, fa = fast_fine_op.operator_with_args(
+                        EigOperator.MdagM)
                     if mesh is not None:
                         # sharded operator: smooth per vector (shard_map
                         # composes with jit, not with this vmap batch)
                         from ..parallel.shard_op import spinor_sharding
                         bk = jax.device_put(bk, spinor_sharding(mesh, 1))
-                        one = jax.jit(lambda rhs: _cg_realpair(
-                            fast_fine_op.MdagM, rhs, params.setup_iters))
-                        Bk = jnp.stack([one(bk[i])
+                        one = jax.jit(lambda rhs, *a: _cg_realpair(
+                            lambda v: ffn(v, *a), rhs, params.setup_iters))
+                        Bk = jnp.stack([one(bk[i], *fa)
+                                        for i in range(bk.shape[0])])
+                    elif int(np.prod(fshape[:4])) > (1 << 20):
+                        # large volume: per-vector smoothing — the vmapped
+                        # batch holds n_vec full CG states (x/r/p each
+                        # n_vec x 200 MB at 32^3), which OOMs one chip
+                        one = jax.jit(lambda rhs, *a: _cg_realpair(
+                            lambda v: ffn(v, *a), rhs, params.setup_iters))
+                        Bk = jnp.stack([one(bk[i], *fa)
                                         for i in range(bk.shape[0])])
                     else:
                         solve = jax.jit(jax.vmap(
-                            lambda rhs: _cg_realpair(fast_fine_op.MdagM, rhs,
-                                                     params.setup_iters)))
-                        Bk = solve(bk)
+                            lambda rhs, *a: _cg_realpair(
+                                lambda v: ffn(v, *a), rhs,
+                                params.setup_iters),
+                            in_axes=(0,) + (None,) * len(fa)))
+                        Bk = solve(bk, *fa)
                     # kernel layout -> rc: [T,24,Z,YX] -> [T,Z,Y,X,s,c,2]
                     to_pl = jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y))
                     B_pl = to_pl(Bk)      # [n, 2, s, c, T, Z, Y, X]
                     B = jnp.transpose(B_pl, (0, 4, 5, 6, 7, 2, 3, 1))
+                    if setup_device is not None:
+                        B = jax.device_put(B, setup_device)
                 else:
                     b = jnp.asarray(rng.standard_normal(
                         (params.n_vec[lev],) + tuple(fshape)), dtype=op.dtype)

@@ -543,7 +543,20 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
         raise ValueError("use_mg requires MGParam")
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
-    rc_op = build_rc_dirac(U_np, gauge, inv)
+    # Large single-device volumes: keep the rc fine operator and the whole
+    # transfer/Galerkin/prolongation phase HOST-side (CPU backend) — the
+    # blocked-aggregation reshapes of the transfer hang this backend's
+    # compiler at 32^3x64 — while the null-vector smoothing runs on-chip
+    # (pallas operator) and the measurement stays on-chip as usual.
+    host_setup = mesh is None and geom.volume > (1 << 20)
+    cpu0 = (jax.local_devices(backend="cpu")[0] if host_setup else None)
+    if host_setup:
+        log("MG setup on host (large volume): transfer/Galerkin on CPU, "
+            "smoothing + measurement on chip")
+        with jax.default_device(cpu0):
+            rc_op = build_rc_dirac(U_np, gauge, inv)
+    else:
+        rc_op = build_rc_dirac(U_np, gauge, inv)
     fast_op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
     if autotune and mesh is None:
         with phase_timer("autotune"):
@@ -554,9 +567,14 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
 
     with phase_timer("mg-setup"):
         if mg.vec_infile:
-            env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
+            if host_setup:
+                with jax.default_device(cpu0):
+                    env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
+            else:
+                env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
         else:
-            env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh)
+            env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh,
+                                setup_device=cpu0)
             if mg.vec_outfile:
                 env.save(mg.vec_outfile)
     coarse = env.coarsest_op
@@ -564,6 +582,8 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     rng = np.random.default_rng(seed)
     v0 = jnp.asarray(rng.standard_normal(coarse.field_shape),
                      dtype=jnp.float32)
+    if host_setup:
+        v0 = jax.device_put(v0, cpu0)
     with phase_timer("eigensolve"):
         res = lanczos_hermitian_realpair(
             coarse.MdagM, v0, n_ev=eig.n_ev, n_kr=eig.n_kr,
@@ -594,6 +614,9 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     with phase_timer("prolongate"):
         fine_rc = env.prolongate_batch(res.evecs)
     evecs_pl = _rc_evecs_to_planar(fine_rc)
+    if host_setup:
+        # hand the prolongated evecs to the chip for the measurement
+        evecs_pl = jax.device_put(evecs_pl, jax.devices()[0])
 
     data_mom, pos_np = _measure_production(
         geom, loop_param, cp, evecs_pl, sigma,
