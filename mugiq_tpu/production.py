@@ -494,17 +494,24 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     if loop_param.write_pos_space_hdf5 and loop_param.fname_pos_h5:
         # g5-mapped, like the validation API (api.py writes map_gamma_g5
         # data for consistency with the momentum-space output).
-        # Single-host write: position-space data is full-volume; at
-        # multi-host scale use per-host shard files
-        # (parallel.distributed.save_evecs_sharded pattern) instead.
-        from .io.hdf5io import write_loops_hdf5_pos
         if mapped is None:
-            mapped = map_gamma_g5_planar(data_pos)
-        a = np.asarray(mapped)               # [l, 2, 16, T, Z, Y, X]
-        write_loops_hdf5_pos(loop_param.fname_pos_h5, a[:, 0] + 1j * a[:, 1],
-                             cp.slot_labels())
-        log(f"production pos-space loop data written to "
-            f"{loop_param.fname_pos_h5}")
+            mapped = jax.jit(map_gamma_g5_planar)(data_pos)
+        if jax.process_count() > 1:
+            # multi-host: each process writes its (t, z) hyperslabs to a
+            # per-host shard file (+ offsets); assemble_loops_hdf5_pos
+            # rebuilds the serial file (reference: parallel-HDF5
+            # hyperslab writes, loop_mugiq.cpp:529-656)
+            from .io.hdf5io import write_loops_hdf5_pos_sharded
+            p = write_loops_hdf5_pos_sharded(loop_param.fname_pos_h5,
+                                             mapped, cp.slot_labels())
+            log(f"production pos-space loop shard written to {p}")
+        else:
+            from .io.hdf5io import write_loops_hdf5_pos
+            a = np.asarray(mapped)           # [l, 2, 16, T, Z, Y, X]
+            write_loops_hdf5_pos(loop_param.fname_pos_h5,
+                                 a[:, 0] + 1j * a[:, 1], cp.slot_labels())
+            log(f"production pos-space loop data written to "
+                f"{loop_param.fname_pos_h5}")
 
     pos_np = None
     if keep_pos:
