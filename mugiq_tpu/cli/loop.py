@@ -56,8 +56,18 @@ def main(argv=None):
                    default="f32",
                    help="production link/clover storage precision (bf16 = "
                         "QUDA half-precision analog; arithmetic stays f32)")
+    g.add_argument("--serve", default="", metavar="DIR",
+                   help="process-resident server mode: watch DIR for "
+                        "request JSON files and serve them with warm "
+                        "executable caches (amortizes the one-shot "
+                        "trace/compile cost across production calls)")
     args = p.parse_args(argv)
     setup_jax(args)
+
+    if args.serve:
+        from ..server import serve
+        serve(args.serve)
+        return 0
 
     from .. import api, fields
     from ..io.gauge_io import load_gauge_np

@@ -117,10 +117,11 @@ def write_nersc_gauge(path: str, U: np.ndarray, three_row: bool = True,
         np.uint32)
     chk = np.uint32(np.sum(words, dtype=np.uint64) & 0xFFFFFFFF)
 
-    # plaquette/link trace headers (informational)
+    # plaquette/link trace headers (informational) — host numpy: complex
+    # device arrays cannot exist on the TPU backend, and the write path
+    # must work at multi-GB volumes without touching the chip
     from .. import fields
-    import jax.numpy as jnp
-    plaq = float(fields.plaquette(jnp.asarray(U))[0])
+    plaq = float(fields.plaquette_np(U)[0])
     link_tr = float(np.mean(np.einsum("...ii->...", u).real) / 3.0)
 
     hdr = [

@@ -266,7 +266,7 @@ class MGEnvRC:
     @classmethod
     def build(cls, fine_op_rc, params: MGParam,
               fast_fine_op=None, mesh=None,
-              setup_device=None) -> "MGEnvRC":
+              setup_device=None, split: bool = False) -> "MGEnvRC":
         """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
         (e.g. WilsonDiracRC).
 
@@ -284,7 +284,13 @@ class MGEnvRC:
         setup_device (optional): device the smoothed null vectors are
         placed on before the transfer build (a CPU device for large
         single-chip volumes — production._compute_loop_production_mg's
-        host-side setup; fine_op_rc must live on the same device)."""
+        host-side setup; fine_op_rc must live on the same device).
+
+        split=True: build the FINE-level transfer/Galerkin with the
+        split-layout (no-transpose) formulation of mg/rc_mg_split.py —
+        the on-chip setup path at large volumes (the blocked-agg relayout
+        hangs the tunnelled compiler at 32^3x64); operands are threaded
+        as jit arguments.  Coarser levels keep the agg path (tiny)."""
         n_coarse = params.n_level - 1
         level_ops = [fine_op_rc]
         transfers = []
@@ -352,14 +358,30 @@ class MGEnvRC:
             if mesh is not None and lev == 0:
                 from ..production import rc_sharding
                 B = jax.device_put(B, rc_sharding(mesh, n_leading=1))
-            with phase_timer(f"mg-rc-transfer-l{lev}"):
-                tr = TransferRC.build(B, params.geo_block_size[lev], spin_block)
-            with phase_timer(f"mg-rc-galerkin-l{lev}"):
-                coarse = galerkin_coarse_operator_rc(
-                    op, tr,
-                    place=(None if mesh is None or lev > 0 else
-                           (lambda p: jax.device_put(
-                               p, rc_sharding(mesh, n_leading=1)))))
+            if split and lev == 0:
+                from .rc_mg_split import (TransferRCSplit,
+                                          galerkin_wilson_rc_split,
+                                          galerkin_coarse_operator_split)
+                with phase_timer(f"mg-rc-transfer-l{lev}"):
+                    tr = TransferRCSplit.build(B, params.geo_block_size[lev],
+                                               spin_block)
+                with phase_timer(f"mg-rc-galerkin-l{lev}"):
+                    if getattr(op, "A", None) is None and hasattr(op, "U"):
+                        coarse = galerkin_wilson_rc_split(
+                            op.U, op.kappa, tr,
+                            u_chunk=min(6, params.n_vec[lev]))
+                    else:
+                        coarse = galerkin_coarse_operator_split(op, tr)
+            else:
+                with phase_timer(f"mg-rc-transfer-l{lev}"):
+                    tr = TransferRC.build(B, params.geo_block_size[lev],
+                                          spin_block)
+                with phase_timer(f"mg-rc-galerkin-l{lev}"):
+                    coarse = galerkin_coarse_operator_rc(
+                        op, tr,
+                        place=(None if mesh is None or lev > 0 else
+                               (lambda p: jax.device_put(
+                                   p, rc_sharding(mesh, n_leading=1)))))
             log(f"MGEnvRC: level {lev + 1} built — coarse dims "
                 f"{tr.geom.coarse_dims}, n={coarse.ns * coarse.nc}")
             transfers.append(tr)
@@ -376,7 +398,24 @@ class MGEnvRC:
         return phi
 
     def prolongate_batch(self, phis):
-        return jax.jit(jax.vmap(self.prolongate))(phis)
+        """Recursive prolongation of an evec batch, one jit, transfer
+        bases threaded as ARGUMENTS (a closure would embed the fine-level
+        basis — 2.4 GB at 32^3x64 — as an HLO constant, overflowing the
+        tunnelled backend's compile-request limit)."""
+        from .rc_mg_split import TransferRCSplit
+
+        trs = list(reversed(self.transfers))
+        kinds = [isinstance(t, TransferRCSplit) for t in trs]
+
+        def f(phis, *Vl):
+            for tr, is_split, V in zip(trs, kinds, Vl):
+                t2 = (TransferRCSplit(geom=tr.geom, Vs=V) if is_split
+                      else TransferRC(geom=tr.geom, V=V))
+                phis = jax.vmap(t2.prolong)(phis)
+            return phis
+
+        Vl = [t.Vs if s else t.V for t, s in zip(trs, kinds)]
+        return jax.jit(f)(phis, *Vl)
 
     # -- hierarchy checkpoint (reference: per-level mg_vec_infile/outfile,
     #    tests/eigensolve.cpp:584-590 — restartability = reuse of stored
@@ -388,7 +427,10 @@ class MGEnvRC:
         data = {"n_level": np.asarray(self.params.n_level)}
         for i, tr in enumerate(self.transfers):
             g = tr.geom
-            data[f"V{i}"] = np.asarray(tr.V)
+            # split-layout transfers checkpoint in the agg layout (host
+            # numpy transpose) so save files stay format-compatible
+            data[f"V{i}"] = np.asarray(tr.V if hasattr(tr, "V")
+                                       else tr.to_agg_V())
             data[f"geom{i}"] = np.asarray(
                 list(g.fine_dims) + list(g.block)
                 + [g.ns_fine, g.nc_fine, g.spin_block], dtype=np.int64)
@@ -403,10 +445,15 @@ class MGEnvRC:
             f"({len(self.transfers)} transfer level(s))")
 
     @classmethod
-    def load(cls, path: str, fine_op_rc, params: MGParam) -> "MGEnvRC":
+    def load(cls, path: str, fine_op_rc, params: MGParam,
+             split: bool = False) -> "MGEnvRC":
         """Rebuild the hierarchy from a save() checkpoint (no setup CG, no
         Galerkin probing).  fine_op_rc must be the SAME operator the
-        hierarchy was built for (same gauge/kappa)."""
+        hierarchy was built for (same gauge/kappa).  split=True rebuilds
+        the FINE transfer in the split layout (on-chip prolongation at
+        large volumes)."""
+        from .rc_mg_split import TransferRCSplit
+
         with np.load(path) as z:
             n_coarse = int(z["n_level"]) - 1
             transfers = []
@@ -417,7 +464,12 @@ class MGEnvRC:
                                   block=tuple(int(b) for b in gi[4:8]),
                                   ns_fine=int(gi[8]), nc_fine=int(gi[9]),
                                   spin_block=int(gi[10]))
-                transfers.append(TransferRC(geom=g, V=jnp.asarray(z[f"V{i}"])))
+                if split and i == 0:
+                    transfers.append(TransferRCSplit.from_agg_V(
+                        jnp.asarray(z[f"V{i}"]), g))
+                else:
+                    transfers.append(
+                        TransferRC(geom=g, V=jnp.asarray(z[f"V{i}"])))
                 ns, nc = (int(v) for v in z[f"nsnc{i}"])
                 level_ops.append(StencilOperatorRC(
                     D=jnp.asarray(z[f"D{i}"]),

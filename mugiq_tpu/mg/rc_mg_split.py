@@ -186,6 +186,70 @@ class TransferRCSplit:
         return jax.vmap(lambda v: _merge_view(v, self.geom))(masked)
 
 
+def galerkin_wilson_rc_split(U_rc: jnp.ndarray, kappa: float,
+                             transfer: TransferRCSplit,
+                             u_chunk: int = None) -> StencilOperatorRC:
+    """On-chip Galerkin R A P for the fine WILSON level, with the links and
+    the transfer basis threaded as jit ARGUMENTS (closure constants would
+    ship ~600 MB of links/basis with every compile request at 32^3x64 —
+    the tunnelled backend rejects those).
+
+    One jitted graph per source coarse spin value (s_src traced: one
+    compile serves both).  u_chunk bounds the probe-batch temporaries:
+    each chunk costs [u_chunk, fine] hop fields instead of [n_vec, fine].
+    Output identical to galerkin_coarse_operator_split on a clover-less
+    operator (tested)."""
+    from ..rc.dirac_rc import _hop_term_rc
+
+    g = transfer.geom
+    ns_c = g.ns_coarse
+    n_vec = transfer.n_vec
+    uc = u_chunk or n_vec
+    dtype = transfer.Vs.dtype
+
+    masks = {}
+    for mu in range(4):
+        for sign in (+1, -1):
+            masks[(mu, sign)] = block_edge_mask(g, mu, sign).astype(dtype)
+
+    def one_spin(Vs, U, s_src):
+        tr = TransferRCSplit(geom=g, Vs=Vs)
+        sel = (jnp.arange(ns_c) == s_src).astype(dtype)
+        Vm = Vs * sel[None, None, None, None, None, None, None, None,
+                      None, :, None, None, None]
+        dia_c, yp_c, ym_c = [], [[] for _ in range(4)], [[] for _ in range(4)]
+        for u0 in range(0, n_vec, uc):
+            probes = jax.vmap(lambda v: _merge_view(v, g))(
+                Vm[u0:u0 + uc])                        # [cu, fine]
+            dia = tr.restrict_batch_cols(probes)       # Wilson diag = 1
+            for mu in range(4):
+                for sign, acc in ((+1, yp_c), (-1, ym_c)):
+                    h = jax.vmap(lambda p, m=mu, s=sign: -kappa
+                                 * _hop_term_rc(U[m], p, m, forward=(s > 0))
+                                 )(probes)
+                    m = masks[(mu, sign)]
+                    acc[mu].append(tr.restrict_batch_cols(h, m))
+                    dia = dia + tr.restrict_batch_cols(h, 1.0 - m)
+            dia_c.append(dia)
+        cat = lambda parts: jnp.concatenate(parts, axis=-2)   # u axis
+        return (cat(dia_c), [cat(p) for p in yp_c], [cat(p) for p in ym_c])
+
+    fn = jax.jit(one_spin)
+    blocks = [fn(transfer.Vs, U_rc, jnp.asarray(s)) for s in range(ns_c)]
+
+    n = ns_c * n_vec
+
+    def assemble(parts):
+        return jnp.concatenate(
+            [b.reshape(b.shape[:4] + (n, n_vec, 2)) for b in parts], axis=-2)
+
+    return StencilOperatorRC(
+        D=assemble([b[0] for b in blocks]),
+        Yp=[assemble([b[1][mu] for b in blocks]) for mu in range(4)],
+        Ym=[assemble([b[2][mu] for b in blocks]) for mu in range(4)],
+        ns=ns_c, nc=n_vec)
+
+
 def galerkin_coarse_operator_split(fine_op, transfer: TransferRCSplit,
                                    block_jit: bool = True) -> StencilOperatorRC:
     """Exact R A P via per-source-spin batched probing (no fine-volume

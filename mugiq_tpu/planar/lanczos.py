@@ -183,6 +183,43 @@ def _make_restart_update(ax, m, k, rdtype, field_shape=None):
     return restart_update
 
 
+def _make_extract(ax, field_shape, chunk_bytes: int = 1 << 30):
+    """Final Ritz-vector extraction V' = rotate(V, Q) with bounded temps.
+
+    The stacked rotate ("bik,i...->bk...") materializes a [2, n_ev, field]
+    temp — 6 GB at 32^3x64 nKr=48, which OOMed the extraction even though
+    every restart fit.  Chunk the OUTPUT columns instead: each chunk costs
+    two passes over V and a [chunk, field] temp."""
+    _, _, rotate = _make_ops(ax)
+    field_b = 4 * int(np.prod(field_shape))
+
+    def _unitize(E):
+        nrm = jnp.sqrt(jnp.sum(E * E, axis=tuple(range(1, E.ndim)),
+                               keepdims=True))
+        return E / nrm
+
+    @jax.jit
+    def extract(V, Qr, Qi):
+        ncols = Qr.shape[1]
+        if 2 * ncols * field_b <= chunk_bytes:
+            return _unitize(rotate(V, Qr, Qi))
+        chunk = max(1, chunk_bytes // (2 * field_b))
+        outs = []
+        bf = (V.dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
+        pref = jnp.float32 if bf else None
+        cast = (lambda q: q.astype(V.dtype)) if bf else (lambda q: q)
+        for c0 in range(0, ncols, chunk):
+            qr, qi = Qr[:, c0:c0 + chunk], Qi[:, c0:c0 + chunk]
+            Cr = jnp.einsum("ik,i...->k...", cast(qr), V,
+                            preferred_element_type=pref)
+            Ci = jnp.einsum("ik,i...->k...", cast(qi), V,
+                            preferred_element_type=pref)
+            outs.append(_unitize(Cr - _jrot(Ci, ax + 1)))
+        return jnp.concatenate(outs, axis=0)
+
+    return extract
+
+
 def _make_cycle(matvec, m, rdtype, ax, block: Optional[int] = 12,
                 hermitian: bool = True):
     """Jitted Krylov cycle (steps j0..m-1, CGS2 full reorthogonalization).
@@ -327,20 +364,25 @@ def lanczos_hermitian_realpair(
         cache["cycle"] = _make_cycle(matvec, m, rdtype, ax)
         cache["restart_update"] = _make_restart_update(ax, m, k, rdtype,
                                                        field_shape=shape)
-        cache["rotate"] = jax.jit(rotate)
+        cache["rotate"] = _make_extract(ax, shape)
         # T+beta fetched in ONE host transfer (each tunnel sync ~30 ms)
         cache["pack"] = jax.jit(lambda T, b: jnp.concatenate(
             [jnp.reshape(T, (-1,)), jnp.reshape(b, (1,))]))
+
+        # basis init INSIDE one jit: eager zeros(...).at[0].set() holds two
+        # full V buffers transiently (2 x 8 GB at 32^3x64 nKr=80 — OOMed)
+        def _init(v):
+            Vz = jnp.zeros((m + 1,) + shape, dtype=bdtype)
+            return Vz.at[0].set((v / _norm(v)).astype(bdtype))
+
+        cache["init"] = (jax.jit(_init, out_shardings=sharding)
+                         if sharding is not None else jax.jit(_init))
     cycle = cache["cycle"]
     restart_update = cache["restart_update"]
     rotate_jit = cache["rotate"]
     pack = cache["pack"]
 
-    v0n = v0 / _norm(v0)
-    V = jnp.zeros((m + 1,) + shape, dtype=bdtype).at[0].set(
-        v0n.astype(bdtype))
-    if sharding is not None:
-        V = jax.device_put(V, sharding)
+    V = cache["init"](v0)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)
 
     j0 = 0
@@ -373,11 +415,9 @@ def lanczos_hermitian_realpair(
 
     sel_np = np.asarray(sel)[:n_ev]
     Qs = np.vstack([q[:, sel_np], np.zeros((1, n_ev), dtype=q.dtype)])
+    # extraction normalizes in-jit (eager evecs*evecs OOMed at 32^3 nKr=48)
     evecs = rotate_jit(V, jnp.asarray(Qs.real, rdtype),
                        jnp.asarray(Qs.imag, rdtype))
-    nrm = jnp.sqrt(jnp.sum(evecs * evecs,
-                           axis=tuple(range(1, evecs.ndim)), keepdims=True))
-    evecs = evecs / nrm
     return LanczosPlanarResult(
         evals=theta[sel_np],
         evecs=evecs,

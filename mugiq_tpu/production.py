@@ -18,6 +18,7 @@ the validation path.
 """
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -140,6 +141,27 @@ def momentum_project_production(data, ph):
     outi = dr @ phi_ + di @ phr
     out = jnp.stack([outr, outi]).reshape(2, l, g, T, P)
     return jnp.transpose(out, (1, 0, 2, 3, 4))
+
+
+# ---------------------------------------------------------------------------
+# module-level jitted wrappers.  Per-call jax.jit(...) creates a FRESH
+# wrapper each production call, so even an in-process repeat re-traced the
+# whole measurement chain (~40 s of the 32^3x64 one-shot overhead,
+# time_production32.json).  Module singletons make repeated calls hit the
+# executable cache — the reference analog is QUDA's long-lived process +
+# tune cache (interface_mugiq.cpp:72-247).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _to_planar_jit(Y: int):
+    return jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y)),
+                   donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _jit_of(fn, **kw):
+    return jax.jit(fn, **{k: tuple(v) if isinstance(v, list) else v
+                          for k, v in kw.items()})
 
 
 # ---------------------------------------------------------------------------
@@ -340,18 +362,25 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     scale = (0.25 / inv.kappa ** 2
              if inv.mass_normalization == MassNormalization.MASS else 1.0)
 
-    @jax.jit
-    def rayleigh(v, *args):
-        w = base_fn(v, *args) * scale
+    def _rayleigh(v, sc, *args):
+        w = base_fn(v, *args) * sc
         # Rayleigh quotient <v,Mv>/<v,v> (reference computeEvals,
         # eigsolve_mugiq.cpp:300-307)
         lam = jnp.sum(v * w) / jnp.sum(v * v)
         r = jnp.sqrt(jnp.sum((lam * v - w) ** 2))
         return lam, r
 
+    # stash the jit in the caller-owned cache: repeated solves with the
+    # same operator/shapes skip the re-trace (one-shot-overhead lead)
+    if compile_cache is not None:
+        rayleigh = compile_cache.setdefault("rayleigh", jax.jit(_rayleigh))
+    else:
+        rayleigh = jax.jit(_rayleigh)
+
+    scale_arr = jnp.asarray(scale, dtype=jnp.float32)
     lams, rs = [], []
     for i in range(eig.n_ev):
-        lam, r = rayleigh(res.evecs[i], *op_args)
+        lam, r = rayleigh(res.evecs[i], scale_arr, *op_args)
         lams.append(float(lam))
         rs.append(float(r))
     evals = np.asarray(lams)
@@ -368,7 +397,9 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
                             mesh=None, autotune: bool = False,
                             precision: str = "f32",
                             basis_precision: str = "f32",
-                            seed: int = 1234) -> ProductionResult:
+                            seed: int = 1234,
+                            compile_cache: dict = None,
+                            mg_setup: str = "auto") -> ProductionResult:
     """Deflated disconnected loops, all compute on TPU f32.
 
     use_mg=True eigensolves the MG-coarse operator (real-pair Galerkin
@@ -389,21 +420,20 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
         return _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param,
                                            mg, U_loop_np, keep_pos, seed,
                                            mesh=mesh, autotune=autotune,
-                                           precision=precision)
+                                           precision=precision,
+                                           mg_setup=mg_setup)
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     res, evals, sigma, rs = compute_evecs_production(
         U_np, gauge, inv, eig, mesh=mesh, seed=seed, autotune=autotune,
-        precision=precision, basis_precision=basis_precision)
+        precision=precision, basis_precision=basis_precision,
+        compile_cache=compile_cache)
 
     # kernel layout -> planar for the measurement.  The kernel-layout evec
     # block is dead after the relayout: donate it and drop the reference —
     # at 32^3x64 each copy is n_ev * 200 MB of HBM and the measurement's
     # displacement chain needs the headroom (measured OOM without this).
-    Yext = geom.dims[1]
-    to_planar = jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Yext)),
-                        donate_argnums=0)
-    evecs_pl = to_planar(res.evecs)          # [n, 2, 4, 3, T, Z, Y, X]
+    evecs_pl = _to_planar_jit(geom.dims[1])(res.evecs)          # [n, 2, 4, 3, T, Z, Y, X]
     res.evecs = None
 
     data_mom, pos_np = _measure_production(
@@ -427,7 +457,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     the (z,y,x) contraction reduces across shards (the COMM_SPACE
     MPI_Reduce of loop_mugiq.cpp:406) without re-gathering position data."""
     inv_sigma = jnp.asarray(1.0 / sigma, dtype=jnp.float32)
-    contract = jax.jit(loop_contract_production)
+    contract = _jit_of(loop_contract_production)
     U_loop_pl = jnp.asarray(_planar_gauge_np(U_loop_np, False))
     if mesh is not None:
         evecs_pl = jax.device_put(evecs_pl, planar_spinor_sharding(mesh))
@@ -436,7 +466,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     # jit the displacement step (eager planar displacement materializes
     # every unrolled temporary — OOM at 32^3x64) and donate the running
     # displaced block so each chain step reuses the previous buffer
-    disp_step = jax.jit(covariant_displace_planar, static_argnums=2,
+    disp_step = _jit_of(covariant_displace_planar, static_argnums=2,
                         donate_argnums=1)
     slots = [None] * cp.n_loop
     with phase_timer("loop-contraction"):
@@ -470,12 +500,12 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         with phase_timer("momentum-projection"):
             # jit + donate: eager map/reshape materialize full-volume
             # temporaries the allocator may not have room for
-            mapped = jax.jit(map_gamma_g5_planar)(data_pos)
+            mapped = _jit_of(map_gamma_g5_planar)(data_pos)
             if mesh is not None:
                 # einsum form: (z,y,x) contraction psums across shards
-                lgtp = jax.jit(momentum_project_planar)(mapped, ph)
+                lgtp = _jit_of(momentum_project_planar)(mapped, ph)
             else:
-                lgtp = jax.jit(momentum_project_production)(mapped, ph)
+                lgtp = _jit_of(momentum_project_production)(mapped, ph)
         # multi-host: the projected data is tiny ([l,2,16,T,P]) — gather it
         # on every process (the reference's COMM_TIME MPI_Gather + world
         # Bcast epilogue, loop_mugiq.cpp:420-424)
@@ -495,7 +525,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         # g5-mapped, like the validation API (api.py writes map_gamma_g5
         # data for consistency with the momentum-space output).
         if mapped is None:
-            mapped = jax.jit(map_gamma_g5_planar)(data_pos)
+            mapped = _jit_of(map_gamma_g5_planar)(data_pos)
         if jax.process_count() > 1:
             # multi-host: each process writes its (t, z) hyperslabs to a
             # per-host shard file (+ offsets); assemble_loops_hdf5_pos
@@ -533,7 +563,8 @@ def rc_sharding(mesh, n_leading: int = 0):
 def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
                                 U_loop_np, keep_pos, seed, mesh=None,
                                 autotune: bool = False,
-                                precision: str = "f32") -> ProductionResult:
+                                precision: str = "f32",
+                                mg_setup: str = "auto") -> ProductionResult:
     """MG-deflated production loops: real-pair Galerkin hierarchy, coarse
     eigensolve, recursive prolongation (the reference's computeCoarse path).
 
@@ -550,19 +581,28 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
         raise ValueError("use_mg requires MGParam")
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
-    # Large single-device volumes: keep the rc fine operator and the whole
-    # transfer/Galerkin/prolongation phase HOST-side (CPU backend) — the
-    # blocked-aggregation reshapes of the transfer hang this backend's
-    # compiler at 32^3x64 — while the null-vector smoothing runs on-chip
-    # (pallas operator) and the measurement stays on-chip as usual.
-    host_setup = mesh is None and geom.volume > (1 << 20)
+    # Setup-mode menu for the fine-level transfer/Galerkin:
+    #   "split": ON-CHIP via the split-layout (no-transpose) formulation —
+    #            the blocked-agg relayout of the "agg" path hangs this
+    #            backend's compiler at 32^3x64, so large single-chip
+    #            volumes default here;
+    #   "agg":   the original blocked-agg path (small volumes / CPU);
+    #   "host":  documented fallback — transfer/Galerkin on the host CPU
+    #            (smoothing + measurement stay on chip).
+    if mg_setup == "auto":
+        mg_setup = ("split" if mesh is None and geom.volume > (1 << 20)
+                    else "agg")
+    host_setup = mg_setup == "host"
+    split_setup = mg_setup == "split"
     cpu0 = (jax.local_devices(backend="cpu")[0] if host_setup else None)
     if host_setup:
-        log("MG setup on host (large volume): transfer/Galerkin on CPU, "
+        log("MG setup on host (fallback): transfer/Galerkin on CPU, "
             "smoothing + measurement on chip")
         with jax.default_device(cpu0):
             rc_op = build_rc_dirac(U_np, gauge, inv)
     else:
+        if split_setup:
+            log("MG setup on chip (split-layout transfer/Galerkin)")
         rc_op = build_rc_dirac(U_np, gauge, inv)
     fast_op = build_kernel_dirac(U_np, gauge, inv, precision=precision)
     if autotune and mesh is None:
@@ -578,10 +618,11 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
                 with jax.default_device(cpu0):
                     env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
             else:
-                env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
+                env = MGEnvRC.load(mg.vec_infile, rc_op, mg,
+                                   split=split_setup)
         else:
             env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh,
-                                setup_device=cpu0)
+                                setup_device=cpu0, split=split_setup)
             if mg.vec_outfile:
                 env.save(mg.vec_outfile)
     coarse = env.coarsest_op

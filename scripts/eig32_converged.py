@@ -28,7 +28,8 @@ sys.path.insert(0, "/root/repo")
 
 DIMS = (32, 32, 32, 64)
 N_EV = 24
-N_KR = 80
+N_KR = 48
+N_KEEP = 32          # restart-rotate temps are 2*k fields; nKr=80 OOMed
 POLY_DEG = 32
 TARGET = 1e-5
 
@@ -73,7 +74,7 @@ def main():
     t0 = time.perf_counter()
     pre = lanczos_hermitian_realpair(
         fn, v0, n_ev=N_EV + 8, n_kr=N_KR, re_im_axis=1, tol=1e-30,
-        max_restarts=6, which="SR", check_interval=100,
+        max_restarts=6, which="SR", check_interval=100, n_keep=N_KEEP + 4,
         matvec_args=args, compile_cache=pre_cache)
     print(f"pre-run: {time.perf_counter()-t0:.1f} s  "
           f"theta[0]={pre.evals[0]:.6f} theta[{N_EV-1}]={pre.evals[N_EV-1]:.6f} "
@@ -111,7 +112,7 @@ def main():
         t0 = time.perf_counter()
         res = lanczos_hermitian_realpair(
             cheb, v0, n_ev=N_EV, n_kr=N_KR, re_im_axis=1, tol=1e-30,
-            max_restarts=r, which="LR", check_interval=100,
+            max_restarts=r, which="LR", check_interval=100, n_keep=N_KEEP,
             matvec_args=args, compile_cache=cache)
         dt = time.perf_counter() - t0
         lams, rs = true_resids(res.evecs)
@@ -123,7 +124,8 @@ def main():
                       "lam_min": float(lams[0])})
         print(f"restarts={r:3d}: call {dt:6.1f} s  max_resid {mx:.3e}  "
               f"med {np.median(rs):.3e}  lam_min {lams[0]:.6f}", flush=True)
-        final = (res, lams, rs, r, dt)
+        res = None          # drop the evec block before the next call
+        final = (lams, rs, r, dt)
         if mx <= TARGET:
             break
         if len(curve) >= 3 and curve[-1]["max_resid"] > 0.5 * curve[-3]["max_resid"]:
@@ -131,11 +133,11 @@ def main():
             break
     total_s = time.perf_counter() - t_total0
 
-    res, lams, rs, r_fin, dt_fin = final
+    lams, rs, r_fin, dt_fin = final
     scale = 0.25 / ip.kappa ** 2
     out = {
         "dims": list(DIMS), "operator": "packed even-odd Schur MdagM",
-        "precision": "f32 links, f32 basis", "n_ev": N_EV, "n_kr": N_KR,
+        "precision": "f32 links, f32 basis", "n_ev": N_EV, "n_kr": N_KR, "n_keep": N_KEEP,
         "chebyshev": {"deg": POLY_DEG, "a_min": round(a_min, 4),
                       "a_max": round(a_max, 4)},
         "target_resid": TARGET,

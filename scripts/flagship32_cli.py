@@ -1,0 +1,112 @@
+"""Flagship 32^3x64 run through the real operating mode: a gauge CONFIG
+FILE read by the installed CLI (`mugiq-loop --production`), no host
+random-gauge synthesis in the measured path.
+
+The reference is driven exactly this way (tests/loop.cpp:849-858 reads a
+config via QIO, 895-898 checks the plaquette).  Steps:
+
+  1. (once) synthesize a 32^3x64 random SU(3) config on host and write it
+     as a NERSC archive (~600 MB f32) with plaquette in the header;
+  2. run `python -m mugiq_tpu.cli.loop --gauge <file> --production ...`
+     and verify the CLI's recomputed plaquette matches the header;
+  3. commit the invocation + timings to artifacts/flagship32_cli.json.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+DIMS = (32, 32, 32, 64)
+GAUGE = "/tmp/gauge32x64.nersc"
+MOMFILE = "/tmp/moms32.txt"
+
+
+def make_gauge():
+    import jax
+    import jax.numpy as jnp
+    from mugiq_tpu import fields
+    from mugiq_tpu.lattice import LatticeGeometry
+    from mugiq_tpu.io.gauge_io import write_nersc_gauge, read_nersc_gauge
+
+    geom = LatticeGeometry(DIMS)
+    t0 = time.perf_counter()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        U = np.asarray(fields.random_gauge(geom, seed=1,
+                                           dtype=jnp.complex64))
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    write_nersc_gauge(GAUGE, U, three_row=True, double=False)
+    t_write = time.perf_counter() - t0
+    # read-back sanity: header plaquette vs recompute (exercises the
+    # multi-GB reader + byteswap path)
+    t0 = time.perf_counter()
+    U2, hdr = read_nersc_gauge(GAUGE)
+    t_read = time.perf_counter() - t0
+    plaq = float(fields.plaquette_np(U2)[0])
+    want = float(hdr["PLAQUETTE"])
+    assert abs(plaq - want) < 5e-6, (plaq, want)
+    print(f"gauge: build {t_build:.1f}s write {t_write:.1f}s "
+          f"read+checksum {t_read:.1f}s plaq {plaq:.8f} "
+          f"({os.path.getsize(GAUGE)/1e9:.2f} GB)", flush=True)
+    return {"build_s": round(t_build, 1), "write_s": round(t_write, 1),
+            "read_s": round(t_read, 1), "plaquette": plaq,
+            "bytes": os.path.getsize(GAUGE)}
+
+
+def main():
+    gauge_info = (make_gauge() if not os.path.exists(GAUGE)
+                  else {"reused": GAUGE})
+    with open(MOMFILE, "w") as f:
+        f.write("0 0 0\n1 0 0\n0 1 1\n")
+
+    cmd = [sys.executable, "-m", "mugiq_tpu.cli.loop",
+           "--dims", "32", "32", "32", "64",
+           "--gauge", GAUGE,
+           "--kappa", "0.12",
+           "--eig-nev", "8", "--eig-nkr", "24",
+           "--eig-tol", "1e-5", "--eig-max-restarts", "30",
+           "--eig-use-poly-acc", "--eig-poly-deg", "16",
+           "--eig-amin", "0.25",
+           "--momenta-filename", MOMFILE,
+           "--loop-do-nonlocal", "yes", "--displace-entry-string", "+z:1",
+           "--loop-write-mom-space", "yes",
+           "--loop-mom-space-filename", "/tmp/loops32_cli.h5",
+           "--production"]
+    print("CLI:", " ".join(cmd[1:]), flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd="/root/repo", timeout=3600)
+    dt = time.perf_counter() - t0
+    sys.stdout.write(proc.stdout[-4000:])
+    sys.stderr.write(proc.stderr[-2000:])
+    assert proc.returncode == 0, proc.returncode
+
+    m = re.search(r"Computed plaquette is ([0-9.]+)", proc.stdout)
+    plaq_cli = float(m.group(1)) if m else None
+    resid = [float(v) for v in
+             re.findall(r"Residual = ([+-][0-9.e+-]+)", proc.stdout)]
+    tsol = re.search(r"Time for solution = ([0-9.]+)", proc.stdout)
+
+    out = {"dims": list(DIMS),
+           "invocation": "mugiq-loop " + " ".join(cmd[3:]),
+           "gauge_file": GAUGE, "gauge": gauge_info,
+           "plaquette_cli": plaq_cli,
+           "max_residual": max(resid) if resid else None,
+           "solution_s": float(tsol.group(1)) if tsol else None,
+           "total_process_s": round(dt, 1),
+           "hardware": "1x TPU v5e (tunnelled)"}
+    with open("/root/repo/artifacts/flagship32_cli.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote artifacts/flagship32_cli.json (total {dt:.1f} s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

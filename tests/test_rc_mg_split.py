@@ -95,3 +95,70 @@ def test_split_galerkin_identity(setup):
     lhs = coarse.M(phi)
     rhs = tr_sp.restrict(rc.M(tr_sp.prolong(phi)))
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-10)
+
+
+def test_galerkin_wilson_split_threaded(setup):
+    """The operand-threaded on-chip Galerkin (jit args, chunked probes)
+    equals the generic split Galerkin on a Wilson operator."""
+    from mugiq_tpu.mg.rc_mg_split import galerkin_wilson_rc_split
+    rc, _, tr_sp = setup
+    ref = galerkin_coarse_operator_split(rc, tr_sp, block_jit=False)
+    got = galerkin_wilson_rc_split(rc.U, rc.kappa, tr_sp, u_chunk=3)
+    np.testing.assert_allclose(np.asarray(got.D), np.asarray(ref.D),
+                               atol=1e-10)
+    for mu in range(4):
+        np.testing.assert_allclose(np.asarray(got.Yp[mu]),
+                                   np.asarray(ref.Yp[mu]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(got.Ym[mu]),
+                                   np.asarray(ref.Ym[mu]), atol=1e-10)
+
+
+def test_mgenv_split_matches_agg(setup):
+    """MGEnvRC.build(split=True) produces the same hierarchy as the agg
+    path (same seed -> same nulls -> same basis/coarse op/prolongation)."""
+    from mugiq_tpu.params import MGParam
+    from mugiq_tpu.mg.rc_mg import MGEnvRC
+
+    rc, _, _ = setup
+    params = MGParam(n_level=2, geo_block_size=[BLOCK], n_vec=[NVEC],
+                     setup_iters=6)
+    env_a = MGEnvRC.build(rc, params)
+    env_s = MGEnvRC.build(rc, params, split=True)
+    np.testing.assert_allclose(np.asarray(env_s.coarsest_op.D),
+                               np.asarray(env_a.coarsest_op.D), atol=1e-9)
+    for mu in range(4):
+        np.testing.assert_allclose(np.asarray(env_s.coarsest_op.Yp[mu]),
+                                   np.asarray(env_a.coarsest_op.Yp[mu]),
+                                   atol=1e-9)
+    rng = np.random.default_rng(0)
+    phis = jnp.asarray(rng.standard_normal(
+        (2,) + env_a.transfers[-1].coarse_field_shape), dtype=jnp.float64)
+    pa = env_a.prolongate_batch(phis)
+    ps = env_s.prolongate_batch(phis)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pa), atol=1e-9)
+
+
+def test_mgenv_split_checkpoint_roundtrip(setup, tmp_path):
+    """A split-built hierarchy saves in the agg format and loads back on
+    either path (split=True/False) with the same coarse operator."""
+    from mugiq_tpu.params import MGParam
+    from mugiq_tpu.mg.rc_mg import MGEnvRC
+
+    rc, _, _ = setup
+    params = MGParam(n_level=2, geo_block_size=[BLOCK], n_vec=[NVEC],
+                     setup_iters=6)
+    env = MGEnvRC.build(rc, params, split=True)
+    path = str(tmp_path / "mg.npz")
+    env.save(path)
+    env2 = MGEnvRC.load(path, rc, params, split=True)
+    env3 = MGEnvRC.load(path, rc, params, split=False)
+    rng = np.random.default_rng(1)
+    phi = jnp.asarray(rng.standard_normal(
+        env.transfers[-1].coarse_field_shape), dtype=jnp.float64)
+    p0 = np.asarray(env.transfers[0].prolong(phi))
+    np.testing.assert_allclose(np.asarray(env2.transfers[0].prolong(phi)),
+                               p0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(env3.transfers[0].prolong(phi)),
+                               p0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(env2.coarsest_op.D),
+                               np.asarray(env.coarsest_op.D), atol=0)
