@@ -1,12 +1,14 @@
 """MG-deflated production loops at 32^3x64 on the real chip.
 
 2-level real-pair Galerkin hierarchy (block 4^4 -> 8x8x8x16 coarse,
-nvec=12), coarse eigensolve + recursive prolongation + loops.  The MG
-memory hog at this volume is the fine-volume Galerkin probe batch
-(ns*nc probes x 201 MB); single-chip feasibility is part of what this
-measures — the sharded path (mesh=...) is the documented fallback.
+nvec=12), coarse eigensolve + recursive prolongation + loops.  Round-4:
+the fine-level transfer/Galerkin run ON CHIP via the split-layout
+(no-transpose) path (mg/rc_mg_split.py) — the round-3 blocked-agg
+formulation hung the tunnelled compiler and the host-CPU fallback never
+finished.  The MG hierarchy checkpoint is exercised: the first run
+saves, a second production call loads it and skips setup.
 
-Writes artifacts/time_mg32.json.
+Writes artifacts/time_mg32.json (phase breakdown + residuals).
 """
 
 import json
@@ -18,6 +20,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 DIMS = (32, 32, 32, 64)
+CKPT = "/tmp/mg32_hierarchy.npz"
 
 
 def main():
@@ -29,8 +32,7 @@ def main():
                                   GaugeParam, InvertParam, LoopParam,
                                   MGParam)
     from mugiq_tpu.production import compute_loop_production
-    from mugiq_tpu.utils import print_profile
-    from mugiq_tpu import fields
+    from mugiq_tpu.utils import PHASE_TIMES, print_profile, reset_profile
 
     enable_compilation_cache()
     print(f"backend: {jax.devices()}", flush=True)
@@ -38,38 +40,59 @@ def main():
 
     t0 = time.perf_counter()
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        U = np.asarray(fields.random_gauge(geom, seed=1,
-                                           dtype=jnp.complex64))
+        U = np.asarray(fields_random(geom, jnp))
     print(f"gauge built: {time.perf_counter()-t0:.1f} s", flush=True)
 
     gp = GaugeParam(dims=DIMS)
     ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
-    ep = EigParam(n_ev=8, n_kr=24, tol=1e-30, max_restarts=8,
-                  operator=EigOperator.MdagM, check_interval=100)
-    mg = MGParam(n_level=2, geo_block_size=[(4, 4, 4, 4)], n_vec=[12],
-                 setup_iters=8)
+    ep = EigParam(n_ev=8, n_kr=24, tol=1e-6, max_restarts=50,
+                  operator=EigOperator.MdagM, check_interval=2)
     lp = LoopParam(momenta=[(0, 0, 0), (1, 0, 0)], do_mom_proj=True,
                    do_nonlocal=False, write_mom_space_hdf5=True,
                    fname_mom_h5="/tmp/loops32_mg.h5")
 
-    t0 = time.perf_counter()
-    res = compute_loop_production(U, gp, ip, ep, lp, use_mg=True, mg=mg,
-                                  precision="bf16")
-    dt = time.perf_counter() - t0
-    print(f"TOTAL: {dt:.1f} s  restarts={res.n_restarts}", flush=True)
-    print(f"evals[:4]: {res.evals[:4]}", flush=True)
-    print(f"data_mom finite: {np.all(np.isfinite(res.data_mom))}",
-          flush=True)
-    print_profile()
+    runs = {}
+    for tag, mg in (
+        ("build", MGParam(n_level=2, geo_block_size=[(4, 4, 4, 4)],
+                          n_vec=[12], setup_iters=8, vec_outfile=CKPT)),
+        ("ckpt_load", MGParam(n_level=2, geo_block_size=[(4, 4, 4, 4)],
+                              n_vec=[12], setup_iters=8, vec_infile=CKPT)),
+    ):
+        reset_profile()
+        t0 = time.perf_counter()
+        res = compute_loop_production(U, gp, ip, ep, lp, use_mg=True,
+                                      mg=mg, precision="bf16")
+        dt = time.perf_counter() - t0
+        phases = {k: round(v, 1) for k, v in PHASE_TIMES.items()}
+        print(f"[{tag}] TOTAL: {dt:.1f} s restarts={res.n_restarts} "
+              f"converged={res.converged}", flush=True)
+        print(f"[{tag}] coarse evals[:4]: {res.evals[:4]}", flush=True)
+        print(f"[{tag}] coarse resids: "
+              f"{['%.2e' % v for v in res.resids]}", flush=True)
+        print(f"[{tag}] data_mom finite: "
+              f"{np.all(np.isfinite(res.data_mom))}", flush=True)
+        print_profile()
+        runs[tag] = {
+            "total_s": round(dt, 1), "phase_s": phases,
+            "restarts": int(res.n_restarts),
+            "converged": bool(res.converged),
+            "coarse_evals4": [float(v) for v in res.evals[:4]],
+            "coarse_max_resid": float(max(res.resids)),
+            "data_mom_finite": bool(np.all(np.isfinite(res.data_mom)))}
 
     out = {"dims": list(DIMS), "levels": 2, "block": [4, 4, 4, 4],
-           "n_vecs": 12, "n_ev": 8, "n_kr": 24,
-           "restarts": int(res.n_restarts), "precision": "bf16",
-           "total_s": round(dt, 1),
+           "n_vecs": 12, "n_ev": 8, "n_kr": 24, "precision": "bf16",
+           "mg_setup": "on-chip split-layout transfer/Galerkin",
+           "runs": runs,
            "hardware": "1x TPU v5e (tunnelled)"}
     with open("/root/repo/artifacts/time_mg32.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote artifacts/time_mg32.json", flush=True)
+
+
+def fields_random(geom, jnp):
+    from mugiq_tpu import fields
+    return fields.random_gauge(geom, seed=1, dtype=jnp.complex64)
 
 
 if __name__ == "__main__":

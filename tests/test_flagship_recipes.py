@@ -143,3 +143,29 @@ def test_converged_recipe_chebyshev_pc(gauge):
     lams = sorted(float(rayleigh(res.evecs[i], *args)[0]) for i in range(4))
     assert lams[0] <= float(pre.evals[0]) * (1 + 1e-4), (lams[0],
                                                         float(pre.evals[0]))
+
+
+def test_mg_production_recipe_split_setup(gauge, tmp_path):
+    """time_mg32 recipe: MG-deflated production with the on-chip
+    split-layout setup forced (mg_setup="split") + hierarchy checkpoint."""
+    from mugiq_tpu.params import MGParam
+    from mugiq_tpu.production import compute_loop_production
+
+    gp = GaugeParam(dims=GEOM.dims)
+    ip = InvertParam(dslash_type=DslashType.WILSON, kappa=KAPPA)
+    ep = EigParam(n_ev=4, n_kr=12, tol=1e-30, max_restarts=3,
+                  operator=EigOperator.MdagM, check_interval=100)
+    lp = LoopParam(momenta=[(0, 0, 0)], do_mom_proj=True)
+    ck = str(tmp_path / "mg.npz")
+    mg = MGParam(n_level=2, geo_block_size=[(2, 2, 2, 2)], n_vec=[4],
+                 setup_iters=6, vec_outfile=ck)
+    r1 = compute_loop_production(gauge, gp, ip, ep, lp, use_mg=True, mg=mg,
+                                 mg_setup="split")
+    assert np.all(np.isfinite(r1.data_mom))
+    mg2 = MGParam(n_level=2, geo_block_size=[(2, 2, 2, 2)], n_vec=[4],
+                  setup_iters=6, vec_infile=ck)
+    r2 = compute_loop_production(gauge, gp, ip, ep, lp, use_mg=True, mg=mg2,
+                                 mg_setup="split")
+    np.testing.assert_allclose(r2.evals, r1.evals, rtol=1e-5)
+    np.testing.assert_allclose(np.abs(r2.data_mom), np.abs(r1.data_mom),
+                               rtol=1e-4, atol=1e-6)
