@@ -26,17 +26,31 @@ import numpy as np
 from .lanczos import LanczosPlanarResult, _jrot, _make_ops, _norm, _split
 
 
+def _match(small, V):
+    """Reduced-precision basis: cast the SMALL einsum operand down so the
+    multi-GB basis is read natively (see planar/lanczos._make_ops.match);
+    CPU keeps the promoting mixed-dtype form (no bf16xbf16=f32 dots)."""
+    if (V.dtype == jnp.bfloat16 and small.dtype != V.dtype
+            and jax.default_backend() != "cpu"):
+        return small.astype(V.dtype), jnp.float32
+    return small, None
+
+
 def _dots_block(V, W, ax):
     """d[i, c, w] with c=0: Re<V_i, W_w>, c=1: Im<V_i, W_w> — one V pass.
 
     V [hi, *field]; W [b, *field] (re/im split on field axis ``ax``)."""
     Wb = jnp.stack([W, jax.vmap(lambda x: _jrot(x, ax))(W)], axis=0)
-    return jnp.einsum("i...,cw...->icw", V, Wb)
+    Wb, pref = _match(Wb, V)
+    return jnp.einsum("i...,cw...->icw", V, Wb,
+                      preferred_element_type=pref)
 
 
 def _axpy_sub_block(W, d, V, ax):
     """W_w - sum_i (d[i,0,w] + i d[i,1,w]) V_i; one V pass."""
-    C = jnp.einsum("icw,i...->cw...", d, V)
+    dm, pref = _match(d, V)
+    C = jnp.einsum("icw,i...->cw...", dm, V, preferred_element_type=pref)
+    C = C.astype(W.dtype)
     return W - C[0] + jax.vmap(lambda x: _jrot(x, ax))(C[1])
 
 
@@ -77,8 +91,10 @@ def _make_block_cycle(matvec_batch, m, b, rdtype, ax,
         def step(j, carry):
             V, Tmat, _ = carry
             jb = j * b
+            # bf16 basis: the stored block feeds the operator AS-IS
+            # (kernels upcast in-VMEM); algebra stays rdtype
             Wblk = jax.lax.dynamic_slice_in_dim(V, jb, b, axis=0)
-            W = matvec_batch(Wblk, *op_args)
+            W = matvec_batch(Wblk, *op_args).astype(rdtype)
             Vp = V[:hi]
             idxh = jnp.arange(hi)
             maskh = (idxh < jb + b)[:, None, None]
@@ -87,7 +103,8 @@ def _make_block_cycle(matvec_batch, m, b, rdtype, ax,
             d2 = jnp.where(maskh, _dots_block(Vp, W, ax), 0.0)
             W = _axpy_sub_block(W, d2, Vp, ax)
             Q, R = _qr_block(W, ax, rdtype)
-            V = jax.lax.dynamic_update_slice_in_dim(V, Q, jb + b, axis=0)
+            V = jax.lax.dynamic_update_slice_in_dim(V, Q.astype(V.dtype),
+                                                    jb + b, axis=0)
 
             # column block: rows < (j+1)*b of columns jb..jb+b-1
             dc = (d + d2)                                  # [hi, 2, b]
@@ -144,7 +161,8 @@ def _make_block_restart_update(ax, m, b, k, rdtype):
     def restart_update(V, Qr, Qi, theta_sel, S):
         Vk = rotate(V[:m], Qr, Qi)               # [k, ...]
         vres = jax.lax.dynamic_slice_in_dim(V, m, b, axis=0)
-        V = jax.lax.dynamic_update_slice_in_dim(V, Vk, 0, axis=0)
+        V = jax.lax.dynamic_update_slice_in_dim(V, Vk.astype(V.dtype), 0,
+                                                axis=0)
         V = jax.lax.dynamic_update_slice_in_dim(V, vres, k, axis=0)
         Tn = jnp.zeros((m, m, 2), rdtype)
         Tn = Tn.at[jnp.arange(k), jnp.arange(k), 0].set(theta_sel)
@@ -173,6 +191,7 @@ def block_lanczos_hermitian_realpair(
     seed: int = 7,
     sharding=None,
     compile_cache: Optional[dict] = None,
+    basis_dtype=None,
 ) -> LanczosPlanarResult:
     """n_ev extremal eigenpairs of a Hermitian real-pair operator, block
     thick-restart Lanczos with block size ``block_size``.
@@ -213,6 +232,7 @@ def block_lanczos_hermitian_realpair(
         noise = jnp.asarray(rng.standard_normal((b - 1,) + shape), v0.dtype)
         W0 = jnp.concatenate([v0[None], noise], axis=0)
     rdtype = W0.dtype
+    bdtype = basis_dtype or rdtype
     assert shape[ax] % 2 == 0
 
     # keep-count k: multiple of b (block steps restart at offset k)
@@ -225,7 +245,7 @@ def block_lanczos_hermitian_realpair(
 
     _, _, rotate = _make_ops(ax)
     cache = compile_cache if compile_cache is not None else {}
-    ckey = (m, b, k, shape, str(rdtype), ax, len(matvec_args))
+    ckey = (m, b, k, shape, str(rdtype), str(bdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
         cache.clear()
         cache["key"] = ckey
@@ -233,14 +253,15 @@ def block_lanczos_hermitian_realpair(
         cache["restart_update"] = _make_block_restart_update(
             ax, m, b, k, rdtype)
         cache["rotate"] = jax.jit(lambda V, Qr, Qi: rotate(V[:m], Qr, Qi))
-        cache["qr0"] = jax.jit(lambda W: _qr_block(W, ax, rdtype)[0])
+        cache["qr0"] = jax.jit(lambda W: _qr_block(W.astype(rdtype),
+                                                   ax, rdtype)[0])
         cache["pack"] = jax.jit(lambda T, B: jnp.concatenate(
             [jnp.reshape(T, (-1,)), jnp.reshape(B, (-1,))]))
     cycle = cache["cycle"]
     restart_update = cache["restart_update"]
 
-    V = jnp.zeros((m + b,) + shape, dtype=rdtype)
-    V = V.at[:b].set(cache["qr0"](W0))
+    V = jnp.zeros((m + b,) + shape, dtype=bdtype)
+    V = V.at[:b].set(cache["qr0"](W0).astype(bdtype))
     if sharding is not None:
         V = jax.device_put(V, sharding)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)

@@ -199,23 +199,26 @@ def _make_extract(ax, field_shape, chunk_bytes: int = 1 << 30):
         return E / nrm
 
     @jax.jit
-    def extract(V, Qr, Qi):
-        ncols = Qr.shape[1]
-        if 2 * ncols * field_b <= chunk_bytes:
-            return _unitize(rotate(V, Qr, Qi))
-        chunk = max(1, chunk_bytes // (2 * field_b))
-        outs = []
+    def one_chunk(V, qr, qi):
         bf = (V.dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
         pref = jnp.float32 if bf else None
         cast = (lambda q: q.astype(V.dtype)) if bf else (lambda q: q)
-        for c0 in range(0, ncols, chunk):
-            qr, qi = Qr[:, c0:c0 + chunk], Qi[:, c0:c0 + chunk]
-            Cr = jnp.einsum("ik,i...->k...", cast(qr), V,
-                            preferred_element_type=pref)
-            Ci = jnp.einsum("ik,i...->k...", cast(qi), V,
-                            preferred_element_type=pref)
-            outs.append(_unitize(Cr - _jrot(Ci, ax + 1)))
-        return jnp.concatenate(outs, axis=0)
+        Cr = jnp.einsum("ik,i...->k...", cast(qr), V,
+                        preferred_element_type=pref)
+        Ci = jnp.einsum("ik,i...->k...", cast(qi), V,
+                        preferred_element_type=pref)
+        return _unitize(Cr - _jrot(Ci, ax + 1))
+
+    def extract(V, Qr, Qi):
+        """Returns a TUPLE of normalized column chunks; the caller frees V
+        before concatenating (the single fused chunk+concat program held
+        V + all chunks + the concat copy at once and OOMed at 32^3x64)."""
+        ncols = Qr.shape[1]
+        if 2 * ncols * field_b <= chunk_bytes:
+            return (one_chunk(V, Qr, Qi),)
+        chunk = max(1, chunk_bytes // (2 * field_b))
+        return tuple(one_chunk(V, Qr[:, c0:c0 + chunk], Qi[:, c0:c0 + chunk])
+                     for c0 in range(0, ncols, chunk))
 
     return extract
 
@@ -415,9 +418,14 @@ def lanczos_hermitian_realpair(
 
     sel_np = np.asarray(sel)[:n_ev]
     Qs = np.vstack([q[:, sel_np], np.zeros((1, n_ev), dtype=q.dtype)])
-    # extraction normalizes in-jit (eager evecs*evecs OOMed at 32^3 nKr=48)
-    evecs = rotate_jit(V, jnp.asarray(Qs.real, rdtype),
-                       jnp.asarray(Qs.imag, rdtype))
+    # extraction normalizes in-jit (eager evecs*evecs OOMed at 32^3 nKr=48);
+    # chunks come back as a tuple and V is dropped before the concat (the
+    # fused form held V + chunks + concat simultaneously)
+    chunks = rotate_jit(V, jnp.asarray(Qs.real, rdtype),
+                        jnp.asarray(Qs.imag, rdtype))
+    V = Tmat = None
+    evecs = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    chunks = None
     return LanczosPlanarResult(
         evals=theta[sel_np],
         evecs=evecs,

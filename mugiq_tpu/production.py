@@ -266,9 +266,6 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
         # operator/shapes skip re-tracing (see planar.lanczos)
         lanczos_kw["compile_cache"] = compile_cache
     if basis_precision == "bf16":
-        if eig.block_size > 1:
-            raise ValueError("basis_precision='bf16' is implemented for "
-                             "the scalar Lanczos only (block_size=1)")
         lanczos_kw["basis_dtype"] = jnp.bfloat16
     elif basis_precision != "f32":
         raise ValueError(f"basis_precision must be f32|bf16: "

@@ -104,3 +104,28 @@ def test_block_lanczos_validation():
         block_lanczos_hermitian_realpair(mv, jnp.ones((3, 2, 4)), n_ev=2,
                                          n_kr=16, block_size=4,
                                          re_im_axis=1, v0_is_block=True)
+
+
+def test_block_lanczos_bf16_basis():
+    """bf16 basis storage on the block solver: same spectrum to bf16-floor
+    accuracy (the capability existed for the scalar solver only)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mugiq_tpu.planar.block_lanczos import block_lanczos_hermitian_realpair
+
+    rng = np.random.default_rng(5)
+    n = 96
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = (A + A.conj().T) / 2
+    Ar = jnp.asarray(np.block([[A.real, -A.imag], [A.imag, A.real]]),
+                     dtype=jnp.float32)
+
+    def mv(v):
+        return Ar @ v
+
+    v0 = jnp.asarray(rng.standard_normal(2 * n), dtype=jnp.float32)
+    ref = np.linalg.eigvalsh(A)[:4]
+    res = block_lanczos_hermitian_realpair(
+        mv, v0, n_ev=4, n_kr=32, block_size=4, re_im_axis=0, tol=1e-4,
+        max_restarts=200, which="SR", basis_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(res.evals[:4], ref, atol=5e-2)
