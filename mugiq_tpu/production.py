@@ -359,6 +359,20 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
     scale = (0.25 / inv.kappa ** 2
              if inv.mass_normalization == MassNormalization.MASS else 1.0)
 
+    if eig.use_poly_acc:
+        # Ritz vectors from the ACCELERATED operator floor at the cluster
+        # width of the spectrum (p(A) cannot split near-degenerate modes —
+        # measured ~4e-3 at 32^3x64); a second Rayleigh-Ritz pass on the
+        # original operator resolves them to working precision
+        from .planar.lanczos import rayleigh_ritz_refine
+        with phase_timer("rayleigh-ritz-refine"):
+            refined, theta, rs_abs = rayleigh_ritz_refine(
+                base_fn, res.evecs, re_im_axis=1, matvec_args=op_args)
+        res.evecs = refined
+        evals = np.asarray(theta[:eig.n_ev]) * scale
+        sigma = np.sqrt(np.maximum(evals, 0.0))
+        return res, evals, sigma, list(np.asarray(rs_abs[:eig.n_ev]) * scale)
+
     def _rayleigh(v, sc, *args):
         w = base_fn(v, *args) * sc
         # Rayleigh quotient <v,Mv>/<v,v> (reference computeEvals,

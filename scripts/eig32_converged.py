@@ -30,7 +30,10 @@ DIMS = (32, 32, 32, 64)
 N_EV = 24
 N_KR = 48
 N_KEEP = 32          # restart-rotate temps are 2*k fields; nKr=80 OOMed
-POLY_DEG = 32
+POLY_DEG = 12       # keep p_max/p_target ~< 1e2: the subspace floor is
+                    # eps_f32 x (boost dynamic range); deg=32 floored at
+                    # 4e-3 (e^12 range), deg=12 floors ~6e-6, and the
+                    # per-MATVEC convergence rate is degree-independent
 TARGET = 1e-5
 
 
@@ -42,7 +45,8 @@ def main():
     from mugiq_tpu.params import (DslashType, EigOperator, GaugeParam,
                                   InvertParam)
     from mugiq_tpu.production import build_packed_schur
-    from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+    from mugiq_tpu.planar.lanczos import (lanczos_hermitian_realpair,
+                                      rayleigh_ritz_refine)
     from mugiq_tpu.eig.lanczos import chebyshev_op, estimate_spectral_edge
     from mugiq_tpu import fields
 
@@ -123,7 +127,7 @@ def main():
     curve = []
     final = None
     t_total0 = time.perf_counter()
-    for r in (6, 12, 24, 48, 96):
+    for r in (4, 8, 16, 32, 64):
         t0 = time.perf_counter()
         for attempt in range(3):
             try:
@@ -138,15 +142,26 @@ def main():
                 print(f"OOM attempt {attempt}: gc + retry", flush=True)
                 gc.collect(); time.sleep(5); memstats("retry")
         dt = time.perf_counter() - t0
-        lams, rs = true_resids(res.evecs)
-        order = np.argsort(lams)
-        lams, rs = lams[order], rs[order]
+        lams0, rs0 = true_resids(res.evecs)
+        mx0 = float(np.sort(rs0)[:N_EV].max())
+        # second Rayleigh-Ritz pass on the ORIGINAL operator: the poly
+        # solve floors at the cluster width (~4e-3 here); projecting A
+        # onto the converged subspace resolves the clusters
+        t1 = time.perf_counter()
+        refined, lams, rs = rayleigh_ritz_refine(fn, res.evecs,
+                                                 re_im_axis=1,
+                                                 matvec_args=args)
+        dt_ref = time.perf_counter() - t1
+        refined = None
         mx = float(rs[:N_EV].max())
         curve.append({"restarts": r, "call_s": round(dt, 1),
+                      "refine_s": round(dt_ref, 1),
+                      "max_resid_preref": mx0,
                       "max_resid": mx, "med_resid": float(np.median(rs)),
                       "lam_min": float(lams[0])})
-        print(f"restarts={r:3d}: call {dt:6.1f} s  max_resid {mx:.3e}  "
-              f"med {np.median(rs):.3e}  lam_min {lams[0]:.6f}", flush=True)
+        print(f"restarts={r:3d}: call {dt:6.1f} s  raw {mx0:.3e} -> "
+              f"refined max_resid {mx:.3e}  med {np.median(rs):.3e}  "
+              f"lam_min {lams[0]:.6f} (refine {dt_ref:.1f} s)", flush=True)
         res = None          # drop the evec block before the next call
         final = (lams, rs, r, dt)
         if mx <= TARGET:

@@ -72,3 +72,37 @@ def test_rc_lanczos_f32():
     A = np.asarray(dense_matrix(dirac.MdagM, dirac.field_shape, dirac.dtype))
     ref = np.linalg.eigvalsh((A + A.conj().T) / 2)[:4]
     np.testing.assert_allclose(np.sort(res.evals), ref, rtol=1e-3)
+
+
+def test_rayleigh_ritz_refine_resolves_clusters():
+    """Ritz vectors that mix a tight eigenvalue cluster (the polynomial-
+    acceleration floor) are resolved to working precision by the second
+    Rayleigh-Ritz pass on the original operator."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mugiq_tpu.planar.lanczos import rayleigh_ritz_refine
+
+    rng = np.random.default_rng(0)
+    n = 64
+    evs = np.sort(np.concatenate([[0.500, 0.5002, 0.5004, 0.5007],
+                                  1.0 + rng.random(n - 4)]))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    A = (Q * evs) @ Q.conj().T
+    Ar = jnp.asarray(np.block([[A.real, -A.imag], [A.imag, A.real]]),
+                     dtype=jnp.float32)
+
+    def mv(v):
+        return Ar @ v
+
+    U4 = Q[:, :4] @ np.linalg.qr(rng.standard_normal((4, 4)))[0]
+    V = np.concatenate([U4.real, U4.imag], axis=0).T.astype(np.float32)
+    pre = []
+    for i in range(4):
+        v, w = V[i], np.asarray(Ar) @ V[i]
+        lam = v @ w / (v @ v)
+        pre.append(np.linalg.norm(lam * v - w))
+    assert min(pre) > 1e-5            # mixing floor present
+    ref, theta, rs = rayleigh_ritz_refine(mv, jnp.asarray(V), re_im_axis=0)
+    assert max(rs) < 5e-6, rs
+    np.testing.assert_allclose(theta[:4], evs[:4], atol=1e-5)
