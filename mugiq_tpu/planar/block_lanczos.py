@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lanczos import LanczosPlanarResult, _jrot, _make_ops, _norm, _split
+from .lanczos import (LanczosPlanarResult, _jrot, _make_ops, _norm, _split,
+                      _PREC)
 
 
 def _match(small, V):
@@ -42,14 +43,15 @@ def _dots_block(V, W, ax):
     V [hi, *field]; W [b, *field] (re/im split on field axis ``ax``)."""
     Wb = jnp.stack([W, jax.vmap(lambda x: _jrot(x, ax))(W)], axis=0)
     Wb, pref = _match(Wb, V)
-    return jnp.einsum("i...,cw...->icw", V, Wb,
+    return jnp.einsum("i...,cw...->icw", V, Wb, precision=_PREC,
                       preferred_element_type=pref)
 
 
 def _axpy_sub_block(W, d, V, ax):
     """W_w - sum_i (d[i,0,w] + i d[i,1,w]) V_i; one V pass."""
     dm, pref = _match(d, V)
-    C = jnp.einsum("icw,i...->cw...", dm, V, preferred_element_type=pref)
+    C = jnp.einsum("icw,i...->cw...", dm, V, precision=_PREC,
+                   preferred_element_type=pref)
     C = C.astype(W.dtype)
     return W - C[0] + jax.vmap(lambda x: _jrot(x, ax))(C[1])
 

@@ -2,6 +2,7 @@
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,16 +27,16 @@ def loop_contract_planar(vL: jnp.ndarray, vR: jnp.ndarray,
     Lr, Li = wL[:, 0], wL[:, 1]
     Rr, Ri = vR[:, 0], vR[:, 1]
     # conj(L)*R: re = LrRr + LiRi ; im = LrRi - LiRr  (contract n, c)
-    rr = jnp.einsum("nbctzyx,nactzyx->batzyx", Lr, Rr) \
-        + jnp.einsum("nbctzyx,nactzyx->batzyx", Li, Ri)
-    ri = jnp.einsum("nbctzyx,nactzyx->batzyx", Lr, Ri) \
-        - jnp.einsum("nbctzyx,nactzyx->batzyx", Li, Rr)
+    rr = jnp.einsum("nbctzyx,nactzyx->batzyx", Lr, Rr, precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("nbctzyx,nactzyx->batzyx", Li, Ri, precision=jax.lax.Precision.HIGHEST)
+    ri = jnp.einsum("nbctzyx,nactzyx->batzyx", Lr, Ri, precision=jax.lax.Precision.HIGHEST) \
+        - jnp.einsum("nbctzyx,nactzyx->batzyx", Li, Rr, precision=jax.lax.Precision.HIGHEST)
     shape = rr.shape[2:]
     rr = rr.reshape((16,) + shape)
     ri = ri.reshape((16,) + shape)
     Gr, Gi = (jnp.asarray(m, dtype=vL.dtype) for m in _gamma_parts())
-    outr = jnp.einsum("gp,ptzyx->gtzyx", Gr, rr) \
-        - jnp.einsum("gp,ptzyx->gtzyx", Gi, ri)
-    outi = jnp.einsum("gp,ptzyx->gtzyx", Gr, ri) \
-        + jnp.einsum("gp,ptzyx->gtzyx", Gi, rr)
+    outr = jnp.einsum("gp,ptzyx->gtzyx", Gr, rr, precision=jax.lax.Precision.HIGHEST) \
+        - jnp.einsum("gp,ptzyx->gtzyx", Gi, ri, precision=jax.lax.Precision.HIGHEST)
+    outi = jnp.einsum("gp,ptzyx->gtzyx", Gr, ri, precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("gp,ptzyx->gtzyx", Gi, rr, precision=jax.lax.Precision.HIGHEST)
     return jnp.stack([outr, outi])

@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: all basis einsums run at HIGHEST matmul precision: the TPU MXU default
+#: truncates f32 inputs to bf16 per pass, and while that averages out in
+#: long-contraction DOTS (~1e-6), einsums whose OUTPUT is a basis vector
+#: (rotate/axpy: 48-term sums) leave ~bf16-eps (4e-3) relative noise in
+#: every rotated vector — measured as a volume-independent ~3e-3 residual
+#: floor on the chip that no restart count or refinement could beat.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def normalize_which(which: str) -> str:
     """Validate/normalize a spectrum selector for the Hermitian-PSD solvers.
@@ -105,20 +113,20 @@ def _make_ops(ax):
     def dots(V, w):
         """d_i = <V_i, w> -> [m1, 2]; exactly one pass over V."""
         wb, pref = match(jnp.stack([w, _jrot(w, ax)]), V)
-        return jnp.einsum("i...,b...->ib", V, wb,
+        return jnp.einsum("i...,b...->ib", V, wb, precision=_PREC,
                           preferred_element_type=pref)
 
     def axpy_sub(w, d, V):
         """w - sum_i d_i V_i; exactly one pass over V."""
         dm, pref = match(d, V)
-        C = jnp.einsum("ib,i...->b...", dm, V,
+        C = jnp.einsum("ib,i...->b...", dm, V, precision=_PREC,
                        preferred_element_type=pref)
         return w - C[0].astype(w.dtype) + _jrot(C[1].astype(w.dtype), ax)
 
     def rotate(V, Qr, Qi):
         """V'_k = sum_i Q[i,k] V_i (complex Q in parts) -> [k, ...]."""
         Qb, pref = match(jnp.stack([Qr, Qi]), V)
-        C = jnp.einsum("bik,i...->bk...", Qb, V,
+        C = jnp.einsum("bik,i...->bk...", Qb, V, precision=_PREC,
                        preferred_element_type=pref)
         return C[0] - _jrot(C[1], ax + 1)
 
@@ -163,9 +171,9 @@ def _make_restart_update(ax, m, k, rdtype, field_shape=None):
               and jax.default_backend() != "cpu")
         pref = jnp.float32 if bf else None
         cast = (lambda q: q.astype(V.dtype)) if bf else (lambda q: q)
-        Cr = jnp.einsum("ik,i...->k...", cast(Qr), V,
+        Cr = jnp.einsum("ik,i...->k...", cast(Qr), V, precision=_PREC,
                         preferred_element_type=pref)
-        Ci = jnp.einsum("ik,i...->k...", cast(Qi), V,
+        Ci = jnp.einsum("ik,i...->k...", cast(Qi), V, precision=_PREC,
                         preferred_element_type=pref)
         return Cr - _jrot(Ci, ax + 1)
 
@@ -203,9 +211,9 @@ def _make_extract(ax, field_shape, chunk_bytes: int = 1 << 30):
         bf = (V.dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
         pref = jnp.float32 if bf else None
         cast = (lambda q: q.astype(V.dtype)) if bf else (lambda q: q)
-        Cr = jnp.einsum("ik,i...->k...", cast(qr), V,
+        Cr = jnp.einsum("ik,i...->k...", cast(qr), V, precision=_PREC,
                         preferred_element_type=pref)
-        Ci = jnp.einsum("ik,i...->k...", cast(qi), V,
+        Ci = jnp.einsum("ik,i...->k...", cast(qi), V, precision=_PREC,
                         preferred_element_type=pref)
         return _unitize(Cr - _jrot(Ci, ax + 1))
 
@@ -455,15 +463,26 @@ def rayleigh_ritz_refine(matvec, evecs, re_im_axis: int = 0,
     import scipy.linalg
 
     ax = re_im_axis
-    dots, _, _ = _make_ops(ax)
     n = evecs.shape[0]
     field_shape = evecs.shape[1:]
+
+    # ALL projections accumulate in f64: the f32 reduction noise of a
+    # 5e7-element dot (~2e-5 relative) times ||A||/cluster-gap is exactly
+    # the ~3e-3 floor the refinement exists to remove (QUDA reduces in
+    # double for single-precision fields for the same reason).  Products
+    # stay f32; the convert fuses into the reduction (no f64 copy of V).
+    red_axes = tuple(range(1, evecs.ndim))
+
+    def red64(V, u):
+        return jnp.sum((V * u[None]).astype(jnp.float64), axis=red_axes)
 
     @jax.jit
     def apply_and_project(V, j, *a):
         v = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
         w = matvec(v, *a)
-        return dots(V, w), dots(V, v)     # H[:, j], G[:, j]  (each [n, 2])
+        h = jnp.stack([red64(V, w), red64(V, _jrot(w, ax))], axis=-1)
+        g = jnp.stack([red64(V, v), red64(V, _jrot(v, ax))], axis=-1)
+        return h, g                        # H[:, j], G[:, j]  (each [n, 2])
 
     Hc, Gc = [], []
     for j in range(n):
@@ -487,7 +506,8 @@ def rayleigh_ritz_refine(matvec, evecs, re_im_axis: int = 0,
     def resid(V, j, lam, *a):
         v = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
         w = matvec(v, *a)
-        return jnp.sqrt(jnp.sum((lam * v - w) ** 2))
+        d = lam * v - w
+        return jnp.sqrt(jnp.sum((d * d).astype(jnp.float64)))
 
     rs = np.asarray([float(resid(refined, jnp.asarray(j),
                                  jnp.asarray(theta[j], evecs.dtype),

@@ -1,5 +1,6 @@
 """g5 remap + momentum projection in the planar layout."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,10 +23,10 @@ def momentum_project_planar(data: jnp.ndarray, phases_planar: jnp.ndarray
     4 real MXU matmuls here."""
     dr, di = data[:, 0], data[:, 1]
     phr, phi_ = phases_planar[0], phases_planar[1]
-    outr = jnp.einsum("lgtzyx,zyxp->lgtp", dr, phr) \
-        - jnp.einsum("lgtzyx,zyxp->lgtp", di, phi_)
-    outi = jnp.einsum("lgtzyx,zyxp->lgtp", dr, phi_) \
-        + jnp.einsum("lgtzyx,zyxp->lgtp", di, phr)
+    outr = jnp.einsum("lgtzyx,zyxp->lgtp", dr, phr, precision=jax.lax.Precision.HIGHEST) \
+        - jnp.einsum("lgtzyx,zyxp->lgtp", di, phi_, precision=jax.lax.Precision.HIGHEST)
+    outi = jnp.einsum("lgtzyx,zyxp->lgtp", dr, phi_, precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("lgtzyx,zyxp->lgtp", di, phr, precision=jax.lax.Precision.HIGHEST)
     return jnp.stack([outr, outi], axis=1)
 
 

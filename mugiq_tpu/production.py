@@ -105,8 +105,10 @@ def loop_contract_production(vL, vR, inv_sigma):
     g = _gamma_flat_np()
     Gr = jnp.asarray(g.real, dtype=vL.dtype)
     Gi = jnp.asarray(g.imag, dtype=vL.dtype)
-    outr = Gr @ resg_r - Gi @ resg_i
-    outi = Gr @ resg_i + Gi @ resg_r
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    outr = mm(Gr, resg_r) - mm(Gi, resg_i)
+    outi = mm(Gr, resg_i) + mm(Gi, resg_r)
     return jnp.stack([outr, outi]).reshape((2, 16) + shape)
 
 
@@ -137,8 +139,10 @@ def momentum_project_production(data, ph):
     di = data[:, 1].reshape(l * g * T, Z * Y * X)
     phr = ph[0].reshape(Z * Y * X, P)
     phi_ = ph[1].reshape(Z * Y * X, P)
-    outr = dr @ phr - di @ phi_
-    outi = dr @ phi_ + di @ phr
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    outr = mm(dr, phr) - mm(di, phi_)
+    outi = mm(dr, phi_) + mm(di, phr)
     out = jnp.stack([outr, outi]).reshape(2, l, g, T, P)
     return jnp.transpose(out, (1, 0, 2, 3, 4))
 

@@ -17,7 +17,15 @@ The complex-dtype implementations remain the validation path (CPU, fp64);
 against its complex twin.
 """
 
+import jax
 import jax.numpy as jnp
+
+#: HIGHEST matmul precision for all complex einsums: the TPU MXU default
+#: truncates f32 inputs to bf16 per pass — einsums with vector/matrix
+#: outputs (small contractions) inherit ~bf16-eps relative noise, which
+#: floored the eigensolve at 3e-3 (see planar/lanczos._PREC).  The extra
+#: MXU passes are free on the bandwidth-bound paths that use ceinsum.
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def to_rc(z: jnp.ndarray) -> jnp.ndarray:
@@ -54,10 +62,10 @@ def ceinsum(spec: str, a: jnp.ndarray, b: jnp.ndarray,
     if conj_a:
         ai = -ai
     br, bi = b[..., 0], b[..., 1]
-    rr = jnp.einsum(spec, ar, br)
-    ii = jnp.einsum(spec, ai, bi)
-    ri = jnp.einsum(spec, ar, bi)
-    ir = jnp.einsum(spec, ai, br)
+    rr = jnp.einsum(spec, ar, br, precision=_PREC)
+    ii = jnp.einsum(spec, ai, bi, precision=_PREC)
+    ri = jnp.einsum(spec, ar, bi, precision=_PREC)
+    ir = jnp.einsum(spec, ai, br, precision=_PREC)
     return jnp.stack([rr - ii, ri + ir], axis=-1)
 
 
