@@ -266,7 +266,8 @@ class MGEnvRC:
     @classmethod
     def build(cls, fine_op_rc, params: MGParam,
               fast_fine_op=None, mesh=None,
-              setup_device=None, split: bool = False) -> "MGEnvRC":
+              setup_device=None, split: bool = False,
+              kernel_impl: bool = False) -> "MGEnvRC":
         """fine_op_rc: operator with MdagM/diag_term/hop_term on rc fields
         (e.g. WilsonDiracRC).
 
@@ -287,16 +288,32 @@ class MGEnvRC:
         host-side setup; fine_op_rc must live on the same device).
 
         split=True: build the FINE-level transfer/Galerkin with the
-        split-layout (no-transpose) formulation of mg/rc_mg_split.py —
-        the on-chip setup path at large volumes (the blocked-agg relayout
-        hangs the tunnelled compiler at 32^3x64); operands are threaded
-        as jit arguments.  Coarser levels keep the agg path (tiny)."""
+        split-layout (no-transpose) formulation of mg/rc_mg_split.py;
+        operands are threaded as jit arguments.  Coarser levels keep the
+        agg path (tiny).
+
+        kernel_impl=True (requires fast_fine_op): the FINE-level transfer
+        and Galerkin run entirely in the pallas KERNEL layout
+        (mg/kernel_mg.py: masks + block reductions + per-direction pallas
+        hops) — the ONLY formulation that compiles at 32^3x64 on this
+        backend (rc-layout views relayout catastrophically: 19-60 GB
+        compile requests).  The smoothed null vectors stay in the kernel
+        layout; no rc conversion ever happens at fine volume."""
         n_coarse = params.n_level - 1
         level_ops = [fine_op_rc]
         transfers = []
         for lev in range(n_coarse):
             op = level_ops[-1]
-            fshape = op.field_shape
+            if op is None:
+                # kernel_impl with no rc fine operator: derive the fine
+                # dims from the pallas operator (rc fields never exist
+                # at fine volume)
+                assert kernel_impl and lev == 0 and fast_fine_op is not None
+                T, _, _, Z, YX = fast_fine_op.U_k.shape
+                Yf = fast_fine_op.Y
+                fshape = (T, Z, Yf, YX // Yf, 4, 3, 2)
+            else:
+                fshape = op.field_shape
             ns = fshape[4]
             spin_block = 2 if ns == 4 else 1
             rng = np.random.default_rng(params.setup_seed + lev)
@@ -339,12 +356,19 @@ class MGEnvRC:
                                 params.setup_iters),
                             in_axes=(0,) + (None,) * len(fa)))
                         Bk = solve(bk, *fa)
-                    # kernel layout -> rc: [T,24,Z,YX] -> [T,Z,Y,X,s,c,2]
-                    to_pl = jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y))
-                    B_pl = to_pl(Bk)      # [n, 2, s, c, T, Z, Y, X]
-                    B = jnp.transpose(B_pl, (0, 4, 5, 6, 7, 2, 3, 1))
-                    if setup_device is not None:
-                        B = jax.device_put(B, setup_device)
+                    if kernel_impl and lev == 0:
+                        # kernel-layout impl: nulls STAY in kernel layout
+                        nrm = jnp.sqrt(jnp.sum(
+                            Bk * Bk, axis=(1, 2, 3, 4), keepdims=True))
+                        B = Bk / nrm
+                    else:
+                        # kernel layout -> rc: [T,24,Z,YX] -> [T,Z,Y,X,s,c,2]
+                        to_pl = jax.vmap(
+                            lambda v: dk.from_kernel_spinor(v, Y=Y))
+                        B_pl = to_pl(Bk)      # [n, 2, s, c, T, Z, Y, X]
+                        B = jnp.transpose(B_pl, (0, 4, 5, 6, 7, 2, 3, 1))
+                        if setup_device is not None:
+                            B = jax.device_put(B, setup_device)
                 else:
                     b = jnp.asarray(rng.standard_normal(
                         (params.n_vec[lev],) + tuple(fshape)), dtype=op.dtype)
@@ -352,13 +376,29 @@ class MGEnvRC:
                         lambda rhs: _cg_realpair(op.MdagM, rhs,
                                                  params.setup_iters)))
                     B = solve(b)
-                nrm = jnp.sqrt(jnp.sum(
-                    B * B, axis=tuple(range(1, B.ndim)), keepdims=True))
-                B = B / nrm
+                if not (kernel_impl and lev == 0):
+                    nrm = jnp.sqrt(jnp.sum(
+                        B * B, axis=tuple(range(1, B.ndim)), keepdims=True))
+                    B = B / nrm
             if mesh is not None and lev == 0:
                 from ..production import rc_sharding
                 B = jax.device_put(B, rc_sharding(mesh, n_leading=1))
-            if split and lev == 0:
+            if kernel_impl and lev == 0:
+                from .kernel_mg import (TransferKernelMG,
+                                        galerkin_wilson_kernel)
+                if fast_fine_op is None or B.ndim != 5:
+                    raise ValueError("kernel_impl requires fast_fine_op "
+                                     "(kernel-layout null vectors)")
+                Yext = fast_fine_op.Y
+                with phase_timer(f"mg-kernel-transfer-l{lev}"):
+                    tr = TransferKernelMG.build(
+                        B, params.geo_block_size[lev], Yext)
+                with phase_timer(f"mg-kernel-galerkin-l{lev}"):
+                    coarse = galerkin_wilson_kernel(
+                        fast_fine_op.U_k.astype(jnp.float32),
+                        fast_fine_op.Ut_k.astype(jnp.float32),
+                        fast_fine_op.kappa, tr)
+            elif split and lev == 0:
                 from .rc_mg_split import (TransferRCSplit,
                                           galerkin_wilson_rc_split,
                                           galerkin_coarse_operator_split)
@@ -403,18 +443,30 @@ class MGEnvRC:
         basis — 2.4 GB at 32^3x64 — as an HLO constant, overflowing the
         tunnelled backend's compile-request limit)."""
         from .rc_mg_split import TransferRCSplit
+        from .kernel_mg import TransferKernelMG
 
         trs = list(reversed(self.transfers))
-        kinds = [isinstance(t, TransferRCSplit) for t in trs]
+
+        def kind(t):
+            if isinstance(t, TransferKernelMG):
+                return "kernel"
+            return "split" if isinstance(t, TransferRCSplit) else "agg"
+
+        kinds = [kind(t) for t in trs]
 
         def f(phis, *Vl):
-            for tr, is_split, V in zip(trs, kinds, Vl):
-                t2 = (TransferRCSplit(geom=tr.geom, Vs=V) if is_split
-                      else TransferRC(geom=tr.geom, V=V))
+            for tr, k_, V in zip(trs, kinds, Vl):
+                if k_ == "kernel":
+                    t2 = TransferKernelMG(geom=tr.geom, Y=tr.Y, V=V)
+                elif k_ == "split":
+                    t2 = TransferRCSplit(geom=tr.geom, Vs=V)
+                else:
+                    t2 = TransferRC(geom=tr.geom, V=V)
                 phis = jax.vmap(t2.prolong)(phis)
             return phis
 
-        Vl = [t.Vs if s else t.V for t, s in zip(trs, kinds)]
+        Vl = [t.Vs if k_ == "split" else t.V
+              for t, k_ in zip(trs, kinds)]
         return jax.jit(f)(phis, *Vl)
 
     # -- hierarchy checkpoint (reference: per-level mg_vec_infile/outfile,
@@ -427,10 +479,10 @@ class MGEnvRC:
         data = {"n_level": np.asarray(self.params.n_level)}
         for i, tr in enumerate(self.transfers):
             g = tr.geom
-            # split-layout transfers checkpoint in the agg layout (host
-            # numpy transpose) so save files stay format-compatible
-            data[f"V{i}"] = np.asarray(tr.V if hasattr(tr, "V")
-                                       else tr.to_agg_V())
+            # split/kernel-layout transfers checkpoint in the agg layout
+            # (host numpy transpose) so save files stay format-compatible
+            data[f"V{i}"] = np.asarray(tr.to_agg_V()
+                                       if hasattr(tr, "to_agg_V") else tr.V)
             data[f"geom{i}"] = np.asarray(
                 list(g.fine_dims) + list(g.block)
                 + [g.ns_fine, g.nc_fine, g.spin_block], dtype=np.int64)
@@ -446,7 +498,7 @@ class MGEnvRC:
 
     @classmethod
     def load(cls, path: str, fine_op_rc, params: MGParam,
-             split: bool = False) -> "MGEnvRC":
+             split: bool = False, kernel_impl: bool = False) -> "MGEnvRC":
         """Rebuild the hierarchy from a save() checkpoint (no setup CG, no
         Galerkin probing).  fine_op_rc must be the SAME operator the
         hierarchy was built for (same gauge/kappa).  split=True rebuilds
@@ -464,7 +516,11 @@ class MGEnvRC:
                                   block=tuple(int(b) for b in gi[4:8]),
                                   ns_fine=int(gi[8]), nc_fine=int(gi[9]),
                                   spin_block=int(gi[10]))
-                if split and i == 0:
+                if kernel_impl and i == 0:
+                    from .kernel_mg import TransferKernelMG
+                    transfers.append(TransferKernelMG.from_agg_V(
+                        z[f"V{i}"], g, g.fine_dims[1]))
+                elif split and i == 0:
                     transfers.append(TransferRCSplit.from_agg_V(
                         jnp.asarray(z[f"V{i}"]), g))
                 else:

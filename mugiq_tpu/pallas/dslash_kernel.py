@@ -438,7 +438,8 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
 # grouped-lane kernel (large lattices, the fast path)
 # ---------------------------------------------------------------------------
 
-def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False):
+def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
+                    dirs=None):
     """Per-t-slice dslash body on the grouped-lane layout.
 
     The [Z, Y*X] minor dims of the kernel layout reshape FREELY (same
@@ -453,6 +454,11 @@ def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False):
     y = lane roll by X with a two-level select at the group edge
     (yi==by-1 crosses to sublane+1; yb==NBy-1 additionally wraps y);
     z = EXACT sublane roll by NBy; t = pipelined neighbour blocks.
+
+    dirs (optional): restrict to a subset of hop directions, as a
+    collection of (mu, sign) pairs — the per-direction hops the MG
+    Galerkin probing needs (rc/planar per-direction hops cannot compile
+    at 32^3 on this backend: their layouts relayout catastrophically).
     """
     S = Z * NBy
     L = by * X
@@ -497,36 +503,45 @@ def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False):
                 acc[s][c] = (ar + vr, ai + vi)
 
         hop = partial(apply_hop, add_acc, dagger)
+        want = (lambda mu, sg: dirs is None or (mu, sg) in dirs)
 
         for mu in range(3):
-            hop(mu, True,
-                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, +1),
-                get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
-            hop(mu, False,
-                get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, -1),
-                get_link=lambda a, b, r, m=mu: (
-                    shift_site(uc(m, b, a, r), m, -1)
-                    if r == 0 else
-                    -shift_site(uc(m, b, a, r), m, -1)))
-        hop(3, True,
-            get_psi=lambda s, c, r: pp(s, c, r),
-            get_link=lambda a, b, r: uc(3, a, b, r))
-        hop(3, False,
-            get_psi=lambda s, c, r: pm(s, c, r),
-            get_link=lambda a, b, r: (utm(b, a, r) if r == 0
-                                      else -utm(b, a, r)))
+            if want(mu, +1):
+                hop(mu, True,
+                    get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
+                                                             m, +1),
+                    get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
+            if want(mu, -1):
+                hop(mu, False,
+                    get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
+                                                             m, -1),
+                    get_link=lambda a, b, r, m=mu: (
+                        shift_site(uc(m, b, a, r), m, -1)
+                        if r == 0 else
+                        -shift_site(uc(m, b, a, r), m, -1)))
+        if want(3, +1):
+            hop(3, True,
+                get_psi=lambda s, c, r: pp(s, c, r),
+                get_link=lambda a, b, r: uc(3, a, b, r))
+        if want(3, -1):
+            hop(3, False,
+                get_psi=lambda s, c, r: pm(s, c, r),
+                get_link=lambda a, b, r: (utm(b, a, r) if r == 0
+                                          else -utm(b, a, r)))
 
+        zero = jnp.zeros((S, L), jnp.float32)
         for s in range(4):
             for c in range(3):
-                ar, ai = acc[s][c]
+                ar, ai = acc[s][c] if acc[s][c] is not None else (zero, zero)
                 write(s, c, ar, ai)
 
     return compute
 
 
-def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False):
+def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False,
+                    dirs=None):
     """Fused M(dag) (or hop, kappa=None) kernel on the grouped-lane view."""
-    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger)
+    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger, dirs=dirs)
     f32 = jnp.float32
 
     def kernel(*refs):
@@ -592,14 +607,14 @@ def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False):
 
 
 def _gl_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
-             out_dtype):
+             out_dtype, dirs=None):
     T, _, Z, YX = psi_k.shape
     X = YX // Y
     assert Y % by == 0, (Y, by)
     NBy = Y // by
     S, L = Z * NBy, by * X
     kernel = _make_gl_kernel(Z, NBy, by, X, kappa=kappa, clover=clover,
-                             dagger=dagger)
+                             dagger=dagger, dirs=dirs)
     # reshapes below are free: [Z, Y*X] -> [Z*NBy, by*X] is the same
     # linear order
     psi_g = psi_k.reshape(T, 24, S, L)
@@ -643,6 +658,16 @@ def dslash_hop_pallas_gl(psi_k, U_k, Ut_k, Y: int, by: int = 8,
     at any volume; see make_gl_compute)."""
     return _gl_call(psi_k, U_k, Ut_k, None, Y, by, None, False, dagger,
                     out_dtype)
+
+
+@partial(jax.jit, static_argnames=("Y", "by", "mu", "sign", "dagger"))
+def dslash_hop_pallas_gl_dir(psi_k, U_k, Ut_k, Y: int, mu: int, sign: int,
+                             by: int = 8, dagger: bool = False):
+    """SINGLE-direction hopping term (1 -/+ gamma_mu) U psi(x +/- mu) on
+    the grouped-lane kernel — the MG Galerkin probing primitive (matches
+    rc.dirac_rc._hop_term_rc without the -kappa factor)."""
+    return _gl_call(psi_k, U_k, Ut_k, None, Y, by, None, False, dagger,
+                    None, dirs=((mu, sign),))
 
 
 @partial(jax.jit, static_argnames=("Y", "by", "kappa", "dagger",

@@ -597,24 +597,31 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     geom = LatticeGeometry(gauge.dims)
     cp = LoopComputeParam.build(geom, loop_param)
     # Setup-mode menu for the fine-level transfer/Galerkin:
-    #   "split": ON-CHIP via the split-layout (no-transpose) formulation —
-    #            the blocked-agg relayout of the "agg" path hangs this
-    #            backend's compiler at 32^3x64, so large single-chip
-    #            volumes default here;
-    #   "agg":   the original blocked-agg path (small volumes / CPU);
-    #   "host":  documented fallback — transfer/Galerkin on the host CPU
-    #            (smoothing + measurement stay on chip).
+    #   "kernel": ON-CHIP in the pallas kernel layout (mg/kernel_mg.py:
+    #             masks + block reductions + per-direction pallas hops) —
+    #             the only formulation that compiles at 32^3x64 on this
+    #             backend (rc-layout views relayout catastrophically), so
+    #             large single-chip volumes default here;
+    #   "split":  rc split-layout (no-transpose) einsums — compiles at
+    #             small/medium volumes;
+    #   "agg":    the original blocked-agg path (small volumes / CPU);
+    #   "host":   documented fallback — transfer/Galerkin on the host CPU
+    #             (smoothing + measurement stay on chip).
     if mg_setup == "auto":
-        mg_setup = ("split" if mesh is None and geom.volume > (1 << 20)
+        mg_setup = ("kernel" if mesh is None and geom.volume > (1 << 20)
                     else "agg")
     host_setup = mg_setup == "host"
     split_setup = mg_setup == "split"
+    kernel_setup = mg_setup == "kernel"
     cpu0 = (jax.local_devices(backend="cpu")[0] if host_setup else None)
     if host_setup:
         log("MG setup on host (fallback): transfer/Galerkin on CPU, "
             "smoothing + measurement on chip")
         with jax.default_device(cpu0):
             rc_op = build_rc_dirac(U_np, gauge, inv)
+    elif kernel_setup:
+        log("MG setup on chip (kernel-layout transfer/Galerkin)")
+        rc_op = None          # never build rc fields at fine volume
     else:
         if split_setup:
             log("MG setup on chip (split-layout transfer/Galerkin)")
@@ -634,10 +641,16 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
                     env = MGEnvRC.load(mg.vec_infile, rc_op, mg)
             else:
                 env = MGEnvRC.load(mg.vec_infile, rc_op, mg,
-                                   split=split_setup)
+                                   split=split_setup,
+                                   kernel_impl=kernel_setup)
+                if kernel_setup and mg.vec_infile:
+                    # checkpoint load skips setup but the GALERKIN stencils
+                    # are stored: nothing to rebuild
+                    pass
         else:
             env = MGEnvRC.build(rc_op, mg, fast_fine_op=fast_op, mesh=mesh,
-                                setup_device=cpu0, split=split_setup)
+                                setup_device=cpu0, split=split_setup,
+                                kernel_impl=kernel_setup)
             if mg.vec_outfile:
                 env.save(mg.vec_outfile)
     coarse = env.coarsest_op
@@ -675,8 +688,14 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     sigma = np.sqrt(np.maximum(evals, 0.0))
 
     with phase_timer("prolongate"):
-        fine_rc = env.prolongate_batch(res.evecs)
-    evecs_pl = _rc_evecs_to_planar(fine_rc)
+        fine = env.prolongate_batch(res.evecs)
+    from .mg.kernel_mg import TransferKernelMG
+    if isinstance(env.transfers[0], TransferKernelMG):
+        # kernel-layout prolongation output -> planar via the production
+        # conversion (the proven 32^3 path)
+        evecs_pl = _to_planar_jit(geom.dims[1])(fine)
+    else:
+        evecs_pl = _rc_evecs_to_planar(fine)
     if host_setup:
         # hand the prolongated evecs to the chip for the measurement
         evecs_pl = jax.device_put(evecs_pl, jax.devices()[0])
