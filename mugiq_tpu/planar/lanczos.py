@@ -326,6 +326,7 @@ def lanczos_hermitian_realpair(
     sharding=None,
     compile_cache: Optional[dict] = None,
     basis_dtype=None,
+    aot_tag: Optional[str] = None,
 ) -> LanczosPlanarResult:
     """n_ev extremal eigenpairs of a Hermitian operator on real-pair fields.
 
@@ -355,6 +356,13 @@ def lanczos_hermitian_realpair(
     otherwise rebuilds the jit wrappers — ~20 s of compile on the
     tunnelled TPU, which dwarfs the ~0.4 s restarts).  Only pass a cache
     that was created for the SAME matvec (same operator + shapes).
+
+    aot_tag (optional): with the executable disk cache enabled
+    (aot_cache.enable_aot_cache), persist/reload the cycle and restart
+    executables under this tag so even a COLD PROCESS skips
+    trace+lower+compile.  The tag must uniquely identify the matvec
+    (operator type, polynomial config, precisions) — shapes/dtypes are
+    keyed automatically.
     """
     which = normalize_which(which)
     shape = v0.shape
@@ -370,11 +378,15 @@ def lanczos_hermitian_realpair(
     cache = compile_cache if compile_cache is not None else {}
     ckey = (m, k, shape, str(rdtype), str(bdtype), ax, len(matvec_args))
     if cache.get("key") != ckey:
+        from ..aot_cache import maybe_aot
         cache.clear()
         cache["key"] = ckey
-        cache["cycle"] = _make_cycle(matvec, m, rdtype, ax)
-        cache["restart_update"] = _make_restart_update(ax, m, k, rdtype,
-                                                       field_shape=shape)
+        wrap = ((lambda f, nm: maybe_aot(f, f"{aot_tag}-{nm}"))
+                if aot_tag else (lambda f, nm: f))
+        cache["cycle"] = wrap(_make_cycle(matvec, m, rdtype, ax), "cycle")
+        cache["restart_update"] = wrap(
+            _make_restart_update(ax, m, k, rdtype, field_shape=shape),
+            "restart")
         cache["rotate"] = _make_extract(ax, shape)
         # T+beta fetched in ONE host transfer (each tunnel sync ~30 ms)
         cache["pack"] = jax.jit(lambda T, b: jnp.concatenate(

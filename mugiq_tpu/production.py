@@ -269,6 +269,7 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
         # caller-owned executable cache: repeated solves with the same
         # operator/shapes skip re-tracing (see planar.lanczos)
         lanczos_kw["compile_cache"] = compile_cache
+
     if basis_precision == "bf16":
         lanczos_kw["basis_dtype"] = jnp.bfloat16
     elif basis_precision != "f32":
@@ -341,6 +342,17 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
         log(f"production eigensolve: Chebyshev deg={eig.poly_deg} "
             f"window=[{eig.a_min}, {a_max:.4f}]")
 
+    from .aot_cache import aot_cache_dir
+    if aot_cache_dir() is not None and eig.block_size == 1:
+        # executable DISK cache (cold-process overhead): the tag pins the
+        # operator identity INCLUDING the polynomial (the traced matvec);
+        # shapes/dtypes key automatically
+        poly = (f"-cheb{eig.poly_deg}-{eig.a_min:.5g}-{a_max:.5g}"
+                if eig.use_poly_acc else "")
+        lanczos_kw["aot_tag"] = (
+            f"evec-{tuple(gauge.dims)}-{inv.dslash_type.name}"
+            f"-k{inv.kappa}-{eig.operator.name}-m{eig.n_kr}-p{precision}"
+            f"-b{basis_precision}-eo{even_odd}{poly}")
     with phase_timer("eigensolve"):
         if eig.block_size > 1:
             from .planar.block_lanczos import block_lanczos_hermitian_realpair

@@ -93,8 +93,18 @@ def stochastic_loop_trace_production(
     ShardedWilsonKernel — noise vectors are placed with the operator's
     sharding (if any) and the CG/contraction algebra propagates it."""
     Y = geom.dims[1]
-    mdagm = jax.jit(op.MdagM)
-    mdag = jax.jit(op.Mdag)
+    from .params import EigOperator
+    # operator operands THREADED as jit arguments: a jitted closure over
+    # op.MdagM embeds the links as HLO constants (604 MB compile request
+    # at 32^3x64 — hangs the tunnelled backend; see operator_with_args)
+    fn_mm, op_args = op.operator_with_args(EigOperator.MdagM)
+    fn_md, _ = op.operator_with_args(EigOperator.Mdag)
+
+    @jax.jit
+    def solve(rhs, *a):
+        return cg_realpair(lambda v: fn_mm(v, *a), fn_md(rhs, *a),
+                           tol=solver_tol, maxiter=solver_maxiter)
+
     to_pl = jax.jit(lambda v: dk.from_kernel_spinor(v, Y=Y))
     contract = jax.jit(loop_contract_production)
     place = getattr(op, "place", lambda x: x)
@@ -108,8 +118,7 @@ def stochastic_loop_trace_production(
             s0 = deflation.apply_inv(eta)
             rhs = eta - op.M(s0)
         with phase_timer("stochastic-solve"):
-            res = cg_realpair(mdagm, mdag(rhs), tol=solver_tol,
-                              maxiter=solver_maxiter)
+            res = solve(rhs, *op_args)
         log(f"stochastic production: noise {i}: iters={int(res.iters)} "
             f"resid={float(res.resid):.2e}")
         s = res.x  # remainder solve only: (M^{-1} - Mdefl^{-1}) eta
