@@ -267,22 +267,40 @@ def galerkin_wilson_kernel(U_k, Ut_k, kappa: float,
     else:
         by_gl = max(b for b in (1, 2, 4) if Y % b == 0 and b < max(Y, 2))
 
-    @partial(jax.jit, static_argnums=(0, 1))
-    def term(mu, sign, V, U, Ut, scmask, emask):
-        probes = V * scmask[None]
-        h = jax.vmap(lambda p: dk.dslash_hop_pallas_gl_dir(
-            p, U, Ut, Y=Y, mu=mu, sign=sign, by=by_gl))(probes)
-        h = (-kappa) * h
-        ys, ds = [], []
-        for u in range(n_vec):
-            ys.append(_restrict_impl(g, Y, V, h[u] * emask))
-            ds.append(_restrict_impl(g, Y, V, h[u] * (1.0 - emask)))
-        return jnp.stack(ys), jnp.stack(ds)    # [u, Tc,Zc,Yc,Xc,sc,w,2]
+    # FINE-GRAINED jits: one hop executable per direction (the pallas
+    # entry point is already jitted on static (Y, by, mu, sign)) plus one
+    # small masked-restrict executable, dispatched per probe column — a
+    # single fused per-term graph (12 pallas calls + 24 reduce fusions)
+    # compiles for tens of minutes through the tunnel at 32^3x64.
+    @jax.jit
+    def _probe(V, scmask, u):
+        return jax.lax.dynamic_index_in_dim(V, u, keepdims=False) * scmask
 
     @jax.jit
+    def _restrict_pair(V, h, emask, scale):
+        hs = h * scale
+        return (_restrict_impl(g, Y, V, hs * emask),
+                _restrict_impl(g, Y, V, hs * (1.0 - emask)))
+
+    @jax.jit
+    def _restrict_one(V, h):
+        return _restrict_impl(g, Y, V, h)
+
+    mk = jnp.asarray(-kappa, jnp.float32)
+
+    def term(mu, sign, V, U, Ut, scmask, emask):
+        ys, ds = [], []
+        for u in range(n_vec):
+            p = _probe(V, scmask, jnp.asarray(u))
+            h = dk.dslash_hop_pallas_gl_dir(p, U, Ut, Y=Y, mu=mu,
+                                            sign=sign, by=by_gl)
+            yc, dc = _restrict_pair(V, h, emask, mk)
+            ys.append(yc)
+            ds.append(dc)
+        return jnp.stack(ys), jnp.stack(ds)    # [u, Tc,Zc,Yc,Xc,sc,w,2]
+
     def diag(V, scmask):
-        probes = V * scmask[None]
-        return jnp.stack([_restrict_impl(g, Y, V, probes[u])
+        return jnp.stack([_restrict_one(V, _probe(V, scmask, jnp.asarray(u)))
                           for u in range(n_vec)])
 
     def cols_to_block(cols):
