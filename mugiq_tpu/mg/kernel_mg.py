@@ -82,23 +82,39 @@ def _assemble(xr, xi, g):
 def _mgs_kernel(V, g, Y):
     """Complex MGS over the leading nvec axis (kernel-layout columns).
 
-    Same ordering as rc_mg._mgs_orthonormalize_rc -> identical basis."""
+    Same ordering as rc_mg._mgs_orthonormalize_rc -> identical basis.
+    FINE-GRAINED jits: one project-and-subtract executable reused for all
+    nvec*(nvec-1)/2 pairs plus one normalizer — a single fused MGS graph
+    (hundreds of 12-axis reductions) compiles for tens of minutes through
+    the tunnel at 32^3x64."""
     nvec = V.shape[0]
-    cols = [_kview(V[j], g, Y) for j in range(nvec)]
+
+    @jax.jit
+    def proj_sub(q, c):
+        qv, cv = _kview(q, g, Y), _kview(c, g, Y)
+        qr, qi = _rparts(qv)
+        cr, ci = _rparts(cv)
+        dr = jnp.sum(qr * cr + qi * ci, axis=_RED)
+        di = jnp.sum(qr * ci - qi * cr, axis=_RED)
+        nr = cr - (_bc(dr) * qr - _bc(di) * qi)
+        ni = ci - (_bc(dr) * qi + _bc(di) * qr)
+        return _assemble(nr, ni, g)
+
+    @jax.jit
+    def normalize(c):
+        cv = _kview(c, g, Y)
+        cr, ci = _rparts(cv)
+        nr = jnp.sum(cr * cr + ci * ci, axis=_RED)
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nr, jnp.finfo(c.dtype).tiny))
+        return _assemble(cr * _bc(inv), ci * _bc(inv), g)
+
     out = []
     for j in range(nvec):
-        cr, ci = _rparts(cols[j])
+        c = V[j]
         for i in range(j):
-            qr, qi = _rparts(out[i])
-            dr = jnp.sum(qr * cr + qi * ci, axis=_RED)
-            di = jnp.sum(qr * ci - qi * cr, axis=_RED)
-            cr = cr - (_bc(dr) * qr - _bc(di) * qi)
-            ci = ci - (_bc(dr) * qi + _bc(di) * qr)
-        nr = jnp.sum(cr * cr + ci * ci, axis=_RED)
-        inv = 1.0 / jnp.sqrt(jnp.maximum(nr, jnp.finfo(V.dtype).tiny))
-        cr, ci = cr * _bc(inv), ci * _bc(inv)
-        out.append(jnp.stack([cr, ci], axis=2))
-    return jnp.stack([_kmerge(o, g) for o in out])
+            c = proj_sub(out[i], c)
+        out.append(normalize(c))
+    return jnp.stack(out)
 
 
 def _edge_mask_np(g: BlockGeometry, Y: int, mu: int, sign: int) -> np.ndarray:
@@ -140,7 +156,7 @@ class TransferKernelMG:
         X = YX // Y
         g = BlockGeometry(fine_dims=(X, Y, Z, T), block=tuple(block),
                           ns_fine=4, nc_fine=3, spin_block=2)
-        V = jax.jit(lambda B: _mgs_kernel(B, g, Y))(nulls_k)
+        V = _mgs_kernel(nulls_k, g, Y)      # manages its own (small) jits
         return cls(geom=g, Y=Y, V=V)
 
     @property
