@@ -79,34 +79,66 @@ def _assemble(xr, xi, g):
     return _kmerge(jnp.stack([xr, xi], axis=2), g)
 
 
+def _block_dot_fields(q, c, g, Y):
+    """Per-block complex <q, c> of NATIVE kernel-layout fields ->
+    (re, im) each [Tc, sc, Zc, Yc, Xc].  Reductions read the native
+    layout through fused split views (inputs never materialize)."""
+    qv, cv = _kview(q, g, Y), _kview(c, g, Y)
+    qr, qi = _rparts(qv)
+    cr, ci = _rparts(cv)
+    re = jnp.sum(qr * cr + qi * ci, axis=_RED)
+    im = jnp.sum(qr * ci - qi * cr, axis=_RED)
+    return re, im
+
+
+_SC12 = [0] * 6 + [1] * 6        # sc per s*c comp (s-major, c-minor)
+
+
+def _coef_to_fine(d, g):
+    """[Tc, sc, Zc, Yc, Xc] coarse coefficients -> [T, 12, Z, Y*X] NATIVE
+    per-site field (upsample the SMALL array; never touch split layouts —
+    broadcast-back multiplies on 12-axis views materialize 16-32x padded
+    temps and blew the 15.75 GB HBM at 32^3x64)."""
+    bx, by_, bz, bt = g.block
+    d = jnp.repeat(d, bt, axis=0)
+    d = jnp.repeat(d, bz, axis=2)
+    d = jnp.repeat(d, by_, axis=3)
+    d = jnp.repeat(d, bx, axis=4)          # [T, 2, Z, Y, X]
+    d = d[:, jnp.asarray(_SC12)]           # [T, 12, Z, Y, X]
+    T, _, Z, Yf, Xf = d.shape
+    return d.reshape(T, 12, Z, Yf * Xf)
+
+
+def _caxpy_fine(c, q, drf, dif):
+    """c - (dr + i di) q on native kernel-layout fields with per-site
+    coefficient fields drf/dif [T, 12, Z, Y*X]."""
+    qr, qi = q[:, :12], q[:, 12:]
+    cr, ci = c[:, :12], c[:, 12:]
+    nr = cr - (drf * qr - dif * qi)
+    ni = ci - (drf * qi + dif * qr)
+    return jnp.concatenate([nr, ni], axis=1)
+
+
 def _mgs_kernel(V, g, Y):
     """Complex MGS over the leading nvec axis (kernel-layout columns).
 
     Same ordering as rc_mg._mgs_orthonormalize_rc -> identical basis.
-    FINE-GRAINED jits: one project-and-subtract executable reused for all
-    nvec*(nvec-1)/2 pairs plus one normalizer — a single fused MGS graph
-    (hundreds of 12-axis reductions) compiles for tens of minutes through
-    the tunnel at 32^3x64."""
+    FINE-GRAINED jits (one reused projection executable; a fused MGS
+    graph compiles for tens of minutes through the tunnel), and all
+    multiplies on NATIVE layouts via upsampled coefficient fields."""
     nvec = V.shape[0]
 
     @jax.jit
     def proj_sub(q, c):
-        qv, cv = _kview(q, g, Y), _kview(c, g, Y)
-        qr, qi = _rparts(qv)
-        cr, ci = _rparts(cv)
-        dr = jnp.sum(qr * cr + qi * ci, axis=_RED)
-        di = jnp.sum(qr * ci - qi * cr, axis=_RED)
-        nr = cr - (_bc(dr) * qr - _bc(di) * qi)
-        ni = ci - (_bc(dr) * qi + _bc(di) * qr)
-        return _assemble(nr, ni, g)
+        dr, di = _block_dot_fields(q, c, g, Y)
+        return _caxpy_fine(c, q, _coef_to_fine(dr, g), _coef_to_fine(di, g))
 
     @jax.jit
     def normalize(c):
-        cv = _kview(c, g, Y)
-        cr, ci = _rparts(cv)
-        nr = jnp.sum(cr * cr + ci * ci, axis=_RED)
+        nr, _ = _block_dot_fields(c, c, g, Y)
         inv = 1.0 / jnp.sqrt(jnp.maximum(nr, jnp.finfo(c.dtype).tiny))
-        return _assemble(cr * _bc(inv), ci * _bc(inv), g)
+        invf = _coef_to_fine(inv, g)
+        return jnp.concatenate([c[:, :12] * invf, c[:, 12:] * invf], axis=1)
 
     out = []
     for j in range(nvec):
@@ -238,19 +270,20 @@ def _restrict_jit(geom, Y):
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _prolong_impl(geom, Y, n_vec, V, phi):
     g = geom
-    Vv = jax.vmap(lambda v: _kview(v, g, Y))(V)
-    # phi [Tc,Zc,Yc,Xc,sc,w,2] -> per-w broadcast [w,Tc,sc,Zc,Yc,Xc]
-    pr = jnp.transpose(phi[..., 0], (5, 0, 4, 1, 2, 3))
-    pi = jnp.transpose(phi[..., 1], (5, 0, 4, 1, 2, 3))
-    Vr, Vi = Vv[:, :, :, 0], Vv[:, :, :, 1]
-
-    # [w, Tc, sc, Zc, Yc, Xc] -> broadcastable over [w, <11-axis r-slice>]
-    def bcw(d):
-        return d[:, :, None, :, None, None, :, None, :, None, :, None]
-
-    outr = jnp.sum(Vr * bcw(pr) - Vi * bcw(pi), axis=0)
-    outi = jnp.sum(Vr * bcw(pi) + Vi * bcw(pr), axis=0)
-    return _assemble(outr, outi, g)
+    # accumulate per basis vector with NATIVE-layout coefficient fields
+    # (see _coef_to_fine: split-view broadcasts blow HBM at 32^3x64)
+    outr = outi = None
+    for w in range(n_vec):
+        prf = _coef_to_fine(jnp.transpose(phi[..., w, 0], (0, 4, 1, 2, 3)),
+                            g)
+        pif = _coef_to_fine(jnp.transpose(phi[..., w, 1], (0, 4, 1, 2, 3)),
+                            g)
+        Vr, Vi = V[w, :, :12], V[w, :, 12:]
+        tr = Vr * prf - Vi * pif
+        ti = Vr * pif + Vi * prf
+        outr = tr if outr is None else outr + tr
+        outi = ti if outi is None else outi + ti
+    return jnp.concatenate([outr, outi], axis=1)
 
 
 def _prolong_jit(geom, Y, n_vec):
