@@ -251,15 +251,14 @@ class TransferKernelMG:
 @partial(jax.jit, static_argnums=(0, 1))
 def _restrict_impl(geom, Y, V, psi_k):
     g = geom
-    h = _kview(psi_k, g, Y)
-    Vv = jax.vmap(lambda v: _kview(v, g, Y))(V)
-    hr, hi = _rparts(h)
-    Vr, Vi = Vv[:, :, :, 0], Vv[:, :, :, 1]
-    red = tuple(a + 1 for a in _RED)
-    re = jnp.sum(Vr * hr[None] + Vi * hi[None], axis=red)
-    im = jnp.sum(Vr * hi[None] - Vi * hr[None], axis=red)
-    # [w, Tc, sc, Zc, Yc, Xc] -> [Tc,Zc,Yc,Xc,sc,w,2]
-    out = jnp.stack([re, im], axis=-1)
+    # per-basis-vector block dots on NATIVE-layout operands (a vmapped
+    # split view relayouts V with nvec minor: a 25 GB padded copy at
+    # 32^3x64); XLA multi-output-fuses the w reductions into few passes
+    outs = []
+    for w in range(V.shape[0]):
+        re, im = _block_dot_fields(V[w], psi_k, g, Y)
+        outs.append(jnp.stack([re, im], axis=-1))
+    out = jnp.stack(outs)                  # [w, Tc, sc, Zc, Yc, Xc, 2]
     return jnp.transpose(out, (1, 3, 4, 5, 2, 0, 6))
 
 
