@@ -20,7 +20,7 @@ Reference: QUDA Transfer/DiracCoarse consumed at mg_mugiq.h:35-53.
 """
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -79,15 +79,54 @@ def _assemble(xr, xi, g):
     return _kmerge(jnp.stack([xr, xi], axis=2), g)
 
 
-def _block_dot_fields(q, c, g, Y):
+def _lane_sum_matrix_np(Y: int, X: int, by_: int, bx: int) -> np.ndarray:
+    """[Y*X, Yc*Xc] 0/1 matrix summing each (by, bx) block of the fused
+    lane axis (lane = y*X + x) into its coarse (yc, xc) slot."""
+    Yc, Xc = Y // by_, X // bx
+    S = np.zeros((Y * X, Yc * Xc), np.float32)
+    for y in range(Y):
+        for x in range(X):
+            S[y * X + x, (y // by_) * Xc + (x // bx)] = 1.0
+    return S
+
+
+def _block_sum(p, g, Y, S):
+    """[T, 12, Z, Y*X] -> [Tc, sc, Zc, Yc, Xc]: block-sum of a per-site
+    product field by STAGED native reductions — splitting all block dims
+    at once (the 12-dim view) makes the compiler materialize the reshape
+    at 32x lane padding (6 GB per temp at 32^3x64, measured).
+
+    Stages: comp (sb, c) reduce -> z-block reduce (2x sublane pad of a
+    small array) -> lane block-sum as one MXU matmul with the 0/1
+    selection matrix S [Y*X, Yc*Xc] -> t-block reduce (leading dim)."""
+    bx, by_, bz, bt = g.block
+    T, _, Z, YX = p.shape
+    X = YX // Y
+    Yc, Xc = Y // by_, X // bx
+    a = jnp.sum(p.reshape(T, 2, 6, Z, YX), axis=2)       # [T, sc, Z, YX]
+    a = jnp.sum(a.reshape(T, 2, Z // bz, bz, YX), axis=3)
+    a = jnp.matmul(a, S, precision=jax.lax.Precision.HIGHEST)
+    a = jnp.sum(a.reshape(T // bt, bt, 2, Z // bz, Yc * Xc), axis=1)
+    return a.reshape(T // bt, 2, Z // bz, Yc, Xc)
+
+
+@lru_cache(maxsize=None)
+def _lane_S(Y: int, X: int, by_: int, bx: int):
+    return jnp.asarray(_lane_sum_matrix_np(Y, X, by_, bx))
+
+
+def _S_for(g, Y):
+    bx, by_, _, _ = g.block
+    return _lane_S(Y, g.fine_dims[0], by_, bx)
+
+
+def _block_dot_fields(q, c, g, Y, S):
     """Per-block complex <q, c> of NATIVE kernel-layout fields ->
-    (re, im) each [Tc, sc, Zc, Yc, Xc].  Reductions read the native
-    layout through fused split views (inputs never materialize)."""
-    qv, cv = _kview(q, g, Y), _kview(c, g, Y)
-    qr, qi = _rparts(qv)
-    cr, ci = _rparts(cv)
-    re = jnp.sum(qr * cr + qi * ci, axis=_RED)
-    im = jnp.sum(qr * ci - qi * cr, axis=_RED)
+    (re, im) each [Tc, sc, Zc, Yc, Xc] via staged reductions."""
+    qr, qi = q[:, :12], q[:, 12:]
+    cr, ci = c[:, :12], c[:, 12:]
+    re = _block_sum(qr * cr + qi * ci, g, Y, S)
+    im = _block_sum(qr * ci - qi * cr, g, Y, S)
     return re, im
 
 
@@ -128,14 +167,16 @@ def _mgs_kernel(V, g, Y):
     multiplies on NATIVE layouts via upsampled coefficient fields."""
     nvec = V.shape[0]
 
+    S = _S_for(g, Y)
+
     @jax.jit
     def proj_sub(q, c):
-        dr, di = _block_dot_fields(q, c, g, Y)
+        dr, di = _block_dot_fields(q, c, g, Y, S)
         return _caxpy_fine(c, q, _coef_to_fine(dr, g), _coef_to_fine(di, g))
 
     @jax.jit
     def normalize(c):
-        nr, _ = _block_dot_fields(c, c, g, Y)
+        nr, _ = _block_dot_fields(c, c, g, Y, S)
         inv = 1.0 / jnp.sqrt(jnp.maximum(nr, jnp.finfo(c.dtype).tiny))
         invf = _coef_to_fine(inv, g)
         return jnp.concatenate([c[:, :12] * invf, c[:, 12:] * invf], axis=1)
@@ -254,9 +295,10 @@ def _restrict_impl(geom, Y, V, psi_k):
     # per-basis-vector block dots on NATIVE-layout operands (a vmapped
     # split view relayouts V with nvec minor: a 25 GB padded copy at
     # 32^3x64); XLA multi-output-fuses the w reductions into few passes
+    S = _S_for(g, Y)
     outs = []
     for w in range(V.shape[0]):
-        re, im = _block_dot_fields(V[w], psi_k, g, Y)
+        re, im = _block_dot_fields(V[w], psi_k, g, Y, S)
         outs.append(jnp.stack([re, im], axis=-1))
     out = jnp.stack(outs)                  # [w, Tc, sc, Zc, Yc, Xc, 2]
     return jnp.transpose(out, (1, 3, 4, 5, 2, 0, 6))
