@@ -193,6 +193,19 @@ class StencilOperatorRC:
         return self._unflat(ceinsum("tzyxij,tzyxj->tzyxi", link,
                                     jnp.roll(f, -sign, axis=ax)))
 
+    def operator_with_args(self, which: EigOperator):
+        """(fn, args) with the stencil tensors as EXPLICIT arguments —
+        a closure operator embeds D/Yp/Ym as HLO constants (~340 MB at
+        the 32^3x64 coarse level: HTTP 413 on the tunnelled backend)."""
+        ns, nc = self.ns, self.nc
+
+        def apply(phi, D, *links):
+            op = StencilOperatorRC(D=D, Yp=list(links[:4]),
+                                   Ym=list(links[4:]), ns=ns, nc=nc)
+            return op.operator(which)(phi)
+
+        return apply, (self.D, *self.Yp, *self.Ym)
+
 
 def galerkin_coarse_operator_rc(fine_op, transfer: TransferRC,
                                 place=None) -> StencilOperatorRC:

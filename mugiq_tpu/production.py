@@ -672,12 +672,15 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
                      dtype=jnp.float32)
     if host_setup:
         v0 = jax.device_put(v0, cpu0)
+    # stencil tensors threaded as jit args (a closure embeds ~340 MB of
+    # coarse links as HLO constants at 32^3x64 — HTTP 413)
+    cfn, cargs = coarse.operator_with_args(EigOperator.MdagM)
     with phase_timer("eigensolve"):
         res = lanczos_hermitian_realpair(
-            coarse.MdagM, v0, n_ev=eig.n_ev, n_kr=eig.n_kr,
+            cfn, v0, n_ev=eig.n_ev, n_kr=eig.n_kr,
             re_im_axis=v0.ndim - 1, tol=eig.tol,
             max_restarts=eig.max_restarts, which=eig.spectrum.value,
-            check_interval=eig.check_interval)
+            check_interval=eig.check_interval, matvec_args=cargs)
     log(f"production MG eigensolve: converged={res.converged} "
         f"restarts={res.n_restarts}")
 
@@ -685,15 +688,15 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
              if inv.mass_normalization == MassNormalization.MASS else 1.0)
 
     @jax.jit
-    def rayleigh(v):
-        w = coarse.MdagM(v) * scale
+    def rayleigh(v, *ca):
+        w = cfn(v, *ca) * scale
         lam = jnp.sum(v * w) / jnp.sum(v * v)
         r = jnp.sqrt(jnp.sum((lam * v - w) ** 2))
         return lam, r
 
     lams, rs = [], []
     for i in range(eig.n_ev):
-        lam, r = rayleigh(res.evecs[i])
+        lam, r = rayleigh(res.evecs[i], *cargs)
         lams.append(float(lam))
         rs.append(float(r))
     evals = np.asarray(lams)
