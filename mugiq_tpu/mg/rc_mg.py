@@ -451,36 +451,17 @@ class MGEnvRC:
         return phi
 
     def prolongate_batch(self, phis):
-        """Recursive prolongation of an evec batch, one jit, transfer
-        bases threaded as ARGUMENTS (a closure would embed the fine-level
-        basis — 2.4 GB at 32^3x64 — as an HLO constant, overflowing the
-        tunnelled backend's compile-request limit)."""
-        from .rc_mg_split import TransferRCSplit
-        from .kernel_mg import TransferKernelMG
-
-        trs = list(reversed(self.transfers))
-
-        def kind(t):
-            if isinstance(t, TransferKernelMG):
-                return "kernel"
-            return "split" if isinstance(t, TransferRCSplit) else "agg"
-
-        kinds = [kind(t) for t in trs]
-
-        def f(phis, *Vl):
-            for tr, k_, V in zip(trs, kinds, Vl):
-                if k_ == "kernel":
-                    t2 = TransferKernelMG(geom=tr.geom, Y=tr.Y, V=V)
-                elif k_ == "split":
-                    t2 = TransferRCSplit(geom=tr.geom, Vs=V)
-                else:
-                    t2 = TransferRC(geom=tr.geom, V=V)
-                phis = jax.vmap(t2.prolong)(phis)
-            return phis
-
-        Vl = [t.Vs if k_ == "split" else t.V
-              for t, k_ in zip(trs, kinds)]
-        return jax.jit(f)(phis, *Vl)
+        """Recursive prolongation of an evec batch, one vector at a time —
+        each level's prolong is its own operand-threaded jit (the fused
+        all-vectors graph materialized 40 GB of padded temps at 32^3x64;
+        per-vector dispatches reuse one small executable)."""
+        outs = []
+        for i in range(phis.shape[0]):
+            phi = phis[i]
+            for tr in reversed(self.transfers):
+                phi = tr.prolong(phi)
+            outs.append(phi)
+        return jnp.stack(outs)
 
     # -- hierarchy checkpoint (reference: per-level mg_vec_infile/outfile,
     #    tests/eigensolve.cpp:584-590 — restartability = reuse of stored
