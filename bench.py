@@ -139,12 +139,42 @@ def main():
         print(f"bench: 32^3 metric failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    print(json.dumps({
+    # fourth metric: 32^3x64 warm eigensolve restart (what rounds 4-5
+    # actually optimize) — written to artifacts/bench_eig32.json and
+    # surfaced on the headline line as eig32_restart_s.
+    eig32_s = None
+    try:
+        e32 = _bench_eig32_restart()
+        eig32_s = e32["value"]
+        print(f"eigensolve 32^3x64: {eig32_s:.3f} s/restart "
+              f"(nKr=24, bf16 basis, warm)", file=sys.stderr)
+        with open("artifacts/bench_eig32.json", "w") as f:
+            json.dump(e32, f)
+    except Exception as e:
+        print(f"bench: eig32-restart metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # flagship phase report: latest committed end-to-end wall-clock (the
+    # chip-campaign artifact; re-running the full flagship inside bench
+    # would cost ~10 min of driver time)
+    flagship_s = None
+    try:
+        with open("artifacts/flagship32_cli.json") as f:
+            flagship_s = json.load(f).get("solution_s")
+    except Exception:
+        pass
+
+    out = {
         "metric": "wilson_dslash_throughput",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / sol, 4),
-    }))
+    }
+    if eig32_s is not None:
+        out["eig32_restart_s"] = round(eig32_s, 4)
+    if flagship_s is not None:
+        out["flagship_phase_s"] = flagship_s
+    print(json.dumps(out))
 
 
 def _bench_dslash32(n1=8, n2=58, reps=3):
@@ -187,6 +217,45 @@ def _bench_dslash32(n1=8, n2=58, reps=3):
             "gflops_f32": round(1320 * vol / per32 / 1e9, 1),
             "us_bf16": round(perb * 1e6, 1),
             "gflops_bf16": round(1320 * vol / perb / 1e9, 1)}
+
+
+def _bench_eig32_restart(n_kr=24, n_ev=8, reps=1):
+    """Warm per-restart wall-clock of the production Lanczos at 32^3x64
+    (bf16 Krylov basis — the large-volume production configuration;
+    random normal links stand in for SU(3): restart timing is
+    value-independent)."""
+    import numpy as np
+    from mugiq_tpu.pallas.dirac_kernel import WilsonDiracKernel
+    from mugiq_tpu.planar.lanczos import lanczos_hermitian_realpair
+    from mugiq_tpu.params import EigOperator
+
+    T, Z, Y, X = 64, 32, 32, 32
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((T, 4, 18, Z, Y * X)),
+                    dtype=jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((T, 24, Z, Y * X)),
+                     dtype=jnp.float32)
+    op = WilsonDiracKernel(U_k=U, kappa=0.12, Y=Y, precision="bf16")
+    fn, args = op.operator_with_args(EigOperator.MdagM)
+    cache = {}
+
+    def run(r):
+        return lanczos_hermitian_realpair(
+            fn, v0, n_ev=n_ev, n_kr=n_kr, re_im_axis=1, tol=1e-30,
+            max_restarts=r, which="SR", check_interval=100,
+            matvec_args=args, compile_cache=cache,
+            basis_dtype=jnp.bfloat16)
+
+    run(2)                                   # compile + warm
+    t0 = time.perf_counter(); run(2); t2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(6); t6 = time.perf_counter() - t0
+    per = (t6 - t2) / 4
+    if per <= 0:
+        per = t6 / 6
+    return {"metric": "eigensolve_restart_walltime_32c",
+            "value": round(per, 4), "unit": "s/restart",
+            "dims": [32, 32, 32, 64], "n_kr": n_kr, "n_ev": n_ev,
+            "basis": "bf16"}
 
 
 def _bench_eig_restart(U_k, psi_k, Y, n_kr=48, n_ev=16):

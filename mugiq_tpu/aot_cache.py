@@ -55,8 +55,11 @@ class AotJit:
     def __init__(self, jitfn, tag: str):
         self._jit = jitfn
         self._tag = tag
-        self._exe = None
-        self._tried = False
+        # per-aval-key executables: calls with different shapes each get
+        # their own entry instead of poisoning a single pinned executable
+        # (a shape change used to raise inside _exe and permanently
+        # disable the AOT path for the original shapes too)
+        self._exes = {}
 
     def _key(self, args):
         parts = [self._tag, jax.default_backend(), jax.__version__]
@@ -72,19 +75,19 @@ class AotJit:
             # multi-device session (virtual CPU mesh) stick to plain jit;
             # the production TPU session has one device
             return self._jit(*args)
-        if self._exe is None and not self._tried:
-            self._tried = True
+        key = self._key(args)
+        if key not in self._exes:
             import pickle
             from jax.experimental.serialize_executable import (
                 serialize, deserialize_and_load)
 
-            path = os.path.join(d, self._key(args) + ".aotexe")
+            path = os.path.join(d, key + ".aotexe")
             try:
                 if os.path.exists(path):
                     with open(path, "rb") as f:
                         payload, in_tree, out_tree = pickle.load(f)
-                    self._exe = deserialize_and_load(payload, in_tree,
-                                                     out_tree)
+                    self._exes[key] = deserialize_and_load(
+                        payload, in_tree, out_tree)
                 else:
                     comp = self._jit.lower(*args).compile()
                     payload, in_tree, out_tree = serialize(comp)
@@ -92,17 +95,18 @@ class AotJit:
                     with open(tmp, "wb") as f:
                         pickle.dump((payload, in_tree, out_tree), f)
                     os.replace(tmp, path)
-                    self._exe = comp
+                    self._exes[key] = comp
             except Exception as e:          # fall back to the plain jit
                 from .utils import log
                 log(f"aot-cache: {self._tag}: {type(e).__name__}: "
                     f"{str(e)[:80]} (falling back to jit)")
-                self._exe = None
-        if self._exe is not None:
+                self._exes[key] = None
+        exe = self._exes[key]
+        if exe is not None:
             try:
-                return self._exe(*args)
+                return exe(*args)
             except Exception:
-                self._exe = None            # stale executable: recompile
+                self._exes[key] = None      # stale executable: recompile
         return self._jit(*args)
 
 

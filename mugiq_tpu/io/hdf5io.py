@@ -150,13 +150,19 @@ def assemble_loops_hdf5_pos(path_prefix: str, out_filename: str,
                 if not key.startswith("shard"):
                     continue
                 grp = f[key]
+                # stored offset covers the full sharded array
+                # [l, 2, 16, T, Z, Y, X]: use ALL lattice offsets so 3D
+                # (t,z,y) meshes reassemble correctly, not just t/z
                 off = grp.attrs["offset"]
-                t0, z0 = int(off[3]), int(off[4])
+                t0, z0, y0, x0 = (int(off[3]), int(off[4]),
+                                  int(off[5]) if len(off) > 5 else 0,
+                                  int(off[6]) if len(off) > 6 else 0)
                 for il, label in enumerate(slot_labels):
                     for ig, gname in enumerate(GAMMA_NAMES):
                         blk = np.asarray(grp[label][gname]["loop"])
-                        lt, lz = blk.shape[0], blk.shape[1]
-                        full[il, ig, t0:t0 + lt, z0:z0 + lz] = \
+                        lt, lz, ly, lx = blk.shape[:4]
+                        full[il, ig, t0:t0 + lt, z0:z0 + lz,
+                             y0:y0 + ly, x0:x0 + lx] = \
                             blk[..., 0] + 1j * blk[..., 1]
     if out_filename:
         write_loops_hdf5_pos(out_filename, full, slot_labels)

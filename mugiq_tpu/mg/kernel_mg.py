@@ -143,7 +143,11 @@ def _coef_to_fine(d, g):
     d = jnp.repeat(d, bz, axis=2)
     d = jnp.repeat(d, by_, axis=3)
     d = jnp.repeat(d, bx, axis=4)          # [T, 2, Z, Y, X]
-    d = d[:, jnp.asarray(_SC12)]           # [T, 12, Z, Y, X]
+    # sc -> 12 comps is a plain 6x repeat (comp = s*3+c, s-major): a
+    # broadcast XLA fuses into the consumer, NOT a gather (the indexed
+    # form d[:, _SC12] materialized 2x-padded 1.5 GB copies per vector
+    # in the 32^3x64 prolongation, round-4 OOM)
+    d = jnp.repeat(d, 6, axis=1)           # [T, 12, Z, Y, X]
     T, _, Z, Yf, Xf = d.shape
     return d.reshape(T, 12, Z, Yf * Xf)
 

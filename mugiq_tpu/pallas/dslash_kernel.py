@@ -438,35 +438,16 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
 # grouped-lane kernel (large lattices, the fast path)
 # ---------------------------------------------------------------------------
 
-def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
-                    dirs=None):
-    """Per-t-slice dslash body on the grouped-lane layout.
-
-    The [Z, Y*X] minor dims of the kernel layout reshape FREELY (same
-    linear order) to [Z*NBy, by*X] with sublane s = z*NBy + yb and lane
-    l = yi*X + x (y = yb*by + yi).  This keeps one whole t-slice per grid
-    step at any volume with a 128/256-lane tile — full-width [Z, Y*X]
-    tiles stop compiling above ~256 lanes, and the y-blocked grid
-    (dslash_hop_pallas_yb) pays strided 192-lane DMA (measured: copy
-    bound drops to 328 GB/s) plus per-tile halo concats.
-
-    Shifts: x as in the base kernel (lane roll + edge wrap);
-    y = lane roll by X with a two-level select at the group edge
-    (yi==by-1 crosses to sublane+1; yb==NBy-1 additionally wraps y);
-    z = EXACT sublane roll by NBy; t = pipelined neighbour blocks.
-
-    dirs (optional): restrict to a subset of hop directions, as a
-    collection of (mu, sign) pairs — the per-direction hops the MG
-    Galerkin probing needs (rc/planar per-direction hops cannot compile
-    at 32^3 on this backend: their layouts relayout catastrophically).
-    """
-    S = Z * NBy
-    L = by * X
+def make_gl_shift(NBy: int, by: int, X: int, S: int, L: int):
+    """Site-shift factory for the grouped-lane view (sublane s = z*NBy+yb,
+    lane l = yi*X + x).  Returns make() -> shift_site(a, mu, sign), to be
+    called INSIDE a kernel body (the iotas must be traced there).  Shared
+    by the dslash/hop kernels and the covariant-displacement kernel."""
 
     def roll(a, shift: int, axis: int):
         return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
-    def compute(pm, pc, pp, uc, utm, write):
+    def make():
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
         x_id = lane % X
@@ -492,6 +473,40 @@ def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
                 bedge = (yb == (NBy - 1 if sign > 0 else 0))
                 return jnp.where(edge, jnp.where(bedge, ywrap, cross), main)
             return roll(a, -sign * NBy, axis=0)   # z: exact sublane roll
+
+        return shift_site
+
+    return make
+
+
+def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
+                    dirs=None):
+    """Per-t-slice dslash body on the grouped-lane layout.
+
+    The [Z, Y*X] minor dims of the kernel layout reshape FREELY (same
+    linear order) to [Z*NBy, by*X] with sublane s = z*NBy + yb and lane
+    l = yi*X + x (y = yb*by + yi).  This keeps one whole t-slice per grid
+    step at any volume with a 128/256-lane tile — full-width [Z, Y*X]
+    tiles stop compiling above ~256 lanes, and the y-blocked grid
+    (dslash_hop_pallas_yb) pays strided 192-lane DMA (measured: copy
+    bound drops to 328 GB/s) plus per-tile halo concats.
+
+    Shifts: x as in the base kernel (lane roll + edge wrap);
+    y = lane roll by X with a two-level select at the group edge
+    (yi==by-1 crosses to sublane+1; yb==NBy-1 additionally wraps y);
+    z = EXACT sublane roll by NBy; t = pipelined neighbour blocks.
+
+    dirs (optional): restrict to a subset of hop directions, as a
+    collection of (mu, sign) pairs — the per-direction hops the MG
+    Galerkin probing needs (rc/planar per-direction hops cannot compile
+    at 32^3 on this backend: their layouts relayout catastrophically).
+    """
+    S = Z * NBy
+    L = by * X
+    make_shift = make_gl_shift(NBy, by, X, S, L)
+
+    def compute(pm, pc, pp, uc, utm, write):
+        shift_site = make_shift()
 
         acc = [[None] * 3 for _ in range(4)]
 

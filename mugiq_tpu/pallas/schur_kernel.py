@@ -109,7 +109,8 @@ def pack_parity_gauge(U_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
 
 def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
                         combine_kappa2, post_clover: bool = False,
-                        comb_clover: bool = False, by: int = None):
+                        comb_clover: bool = False, by: int = None,
+                        z_ext: bool = False, y_ext: bool = False):
     """Parity-restricted hop kernel body.
 
     by (optional): grouped-lane tiling — the [Z, Y*Xh] slice views as
@@ -135,16 +136,22 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
     (out = A_ee pe - kappa^2 hop).  Blocks are packed as in
     dslash_kernel.pack_clover_kernel144: idx = ((chi*6 + k)*6 + j)*2 + r.
     """
+    assert not ((z_ext or y_ext) and by), \
+        "halo-extended parity kernels use full-width tiles (by=None)"
     NBy = (Y // by) if by else 1
-    S = Z * NBy
-    L = (by if by else Y) * Xh
+    Zc = Z + 2 if z_ext else Z            # compute-tile extents (w/ halos)
+    Yc = Y + 2 if y_ext else Y
+    S = Zc * NBy
+    L = (by if by else Yc) * Xh
     f32 = jnp.float32
 
     def roll(a, shift, axis):
         return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
     def zshift(a, sign):
-        """a at z+sign (exact sublane roll; stride NBy in gl tiling)."""
+        """a at z+sign (exact sublane roll; stride NBy in gl tiling).  In
+        z_ext mode the roll runs on the halo-extended tile — interior rows
+        read true neighbours, edge pollution is sliced away at write."""
         return roll(a, -sign * NBy, axis=0)
 
     def yshift(a, sign):
@@ -272,6 +279,15 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
             get_psi=lambda s, c, r: pm(s, c, r),
             get_link=lambda a, b, r: (utm(b, a, r) if r == 0
                                       else -utm(b, a, r)))
+
+        if z_ext or y_ext:
+            # hop tiles are halo-extended; diagonal/clover/combine operands
+            # and the output are interior-only — slice the edge pollution
+            # away here (matches dslash_kernel._make_m_kernel)
+            slz = slice(NBy, Z * NBy + NBy) if z_ext else slice(None)
+            sly = slice(Xh, -Xh) if y_ext else slice(None)
+            acc = [[(acc[s][c][0][slz, sly], acc[s][c][1][slz, sly])
+                    for c in range(3)] for s in range(4)]
 
         if Apost_ref is not None:
             # hop -> Apost . hop (the Schur complement's A_oo^{-1})
@@ -439,6 +455,71 @@ def parity_hop_pallas_ext(psi_ext, U_out, U_in, Ut_in_shift, off_out,
             vmem_limit_bytes=110 * 1024 * 1024),
     )(*args)
     return out.reshape((Tl,) + psi_ext.shape[1:])
+
+
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2", "z_ext",
+                                   "y_ext"))
+def parity_hop_pallas_extzy(psi_ext, U_out_ext, U_in_ext, Ut_in_shift_ext,
+                            off_ext, Y: int, dagger: bool = False,
+                            kappa2=None, psi_out=None, A_post=None,
+                            A_comb=None, z_ext: bool = True,
+                            y_ext: bool = False):
+    """(t[, z][, y])-halo-extended parity hop — the 2D/3D-mesh local
+    stencil of the packed Schur operator (reference pc_solve under any
+    --gridsize, /root/reference/lib/eigsolve_mugiq.cpp:169-181).
+
+    psi_ext [Tl+2, 24, Zp, Yp*Xh] with Zp = Zl+2 (z_ext) and Yp = Yl+2
+    (y_ext) — halo rows ppermuted by the caller; U/off arrays carry the
+    SAME z/y halos on their local-t slices (Ut_in_shift_ext[i] = t-links
+    at global t_i - 1; its halo rows may be zero).  psi_out/A_* are
+    interior-only local slices.  Full-width tiles (no gl grouping)."""
+    Tl = U_out_ext.shape[0]
+    Zp = psi_ext.shape[2]
+    YXp = psi_ext.shape[3]
+    Zl = Zp - 2 if z_ext else Zp
+    Yl = Y
+    Yp = Yl + 2 if y_ext else Yl
+    Xh = YXp // Yp
+    YXl = Yl * Xh
+    kernel = _make_parity_kernel(Zl, Yl, Xh, dagger, kappa2,
+                                 post_clover=A_post is not None,
+                                 comb_clover=A_comb is not None,
+                                 z_ext=z_ext, y_ext=y_ext)
+
+    def ps(shape, tmap):
+        return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
+            len(shape) - 1), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        ps((1, 24, Zp, YXp), lambda i: i),
+        ps((1, 24, Zp, YXp), lambda i: i + 1),
+        ps((1, 24, Zp, YXp), lambda i: i + 2),
+        ps((1, 4, 18, Zp, YXp), lambda i: i),
+        ps((1, 4, 18, Zp, YXp), lambda i: i),
+        ps((1, 18, Zp, YXp), lambda i: i),
+        ps((1, 1, Zp, YXp), lambda i: i),
+    ]
+    args = [psi_ext, psi_ext, psi_ext, U_out_ext, U_in_ext,
+            Ut_in_shift_ext, off_ext]
+    if A_post is not None:
+        in_specs.append(ps((1, 144, Zl, YXl), lambda i: i))
+        args.append(A_post)
+    if kappa2 is not None:
+        in_specs.append(ps((1, 24, Zl, YXl), lambda i: i))
+        args.append(psi_out)
+    if A_comb is not None:
+        assert kappa2 is not None, "A_comb requires the combine pass"
+        in_specs.append(ps((1, 144, Zl, YXl), lambda i: i))
+        args.append(A_comb)
+    return pallas_call_auto(
+        kernel,
+        grid=(Tl,),
+        in_specs=in_specs,
+        out_specs=ps((1, 24, Zl, YXl), lambda i: i),
+        out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YXl), psi_ext.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*args)
 
 
 # ---------------------------------------------------------------------------

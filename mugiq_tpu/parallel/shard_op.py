@@ -230,6 +230,100 @@ def make_sharded_schur_m(mesh: Mesh, Y: int, kappa: float,
     return jax.jit(sharded)
 
 
+def make_sharded_schur_m_zy(mesh: Mesh, Y: int, kappa: float,
+                            dagger: bool = False,
+                            has_clover: bool = False):
+    """Packed even-even Schur M(dag) over a 2D ('t','z') or 3D ('t','z','y')
+    mesh — the packed twin of make_sharded_wilson_3d, so the best
+    single-chip operator composes with every supported lattice
+    decomposition (reference pc_solve under any --gridsize,
+    /root/reference/lib/eigsolve_mugiq.cpp:169-181).
+
+    Same signature as make_sharded_schur_m; fields are packed kernel-layout
+    [T, 24, Z, Y*Xh] sharded t/z(/y).  Halos: one Xh-lane y-row (3D), one
+    z-row, one t-slice per side, exchanged y -> z -> t so corners ride the
+    later transfers; the local stencil is parity_hop_pallas_extzy."""
+    from ..pallas.schur_kernel import parity_hop_pallas_extzy
+    from .shard_dslash import _shard_map_kwargs
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    nt, nz = mesh.shape["t"], mesh.shape["z"]
+    ny = mesh.shape.get("y", 1)
+    is3d = ny > 1
+    Yl = Y // ny
+    k2 = float(kappa) ** 2
+
+    def perms(n):
+        return ([(i, (i + 1) % n) for i in range(n)],
+                [(i, (i - 1) % n) for i in range(n)])
+
+    t_fwd, t_bwd = perms(nt)
+    z_fwd, z_bwd = perms(nz)
+    y_fwd, y_bwd = perms(ny)
+
+    def ext(a, axis, width, name, fwd, bwd):
+        n = a.shape[axis]
+        last = jax.lax.slice_in_dim(a, n - width, n, axis=axis)
+        first = jax.lax.slice_in_dim(a, 0, width, axis=axis)
+        halo_prev = jax.lax.ppermute(last, name, perm=fwd)
+        halo_next = jax.lax.ppermute(first, name, perm=bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=axis)
+
+    def ext_zy(a, Xh):
+        """z (rows, axis -2) and — on 3D meshes — y (Xh lanes, axis -1)
+        halo extension of a local packed array."""
+        if is3d:
+            a = ext(a, a.ndim - 1, Xh, "y", y_fwd, y_bwd)
+        return ext(a, a.ndim - 2, 1, "z", z_fwd, z_bwd)
+
+    def ext_t(a):
+        halo_prev = jax.lax.ppermute(a[-1:], "t", perm=t_fwd)
+        halo_next = jax.lax.ppermute(a[:1], "t", perm=t_bwd)
+        return jnp.concatenate([halo_prev, a, halo_next], axis=0)
+
+    def shift_ut_ext(Ut, Xh):
+        """Ut(global t-1), z/y halo rows zero (utm is never shifted)."""
+        prev = jax.lax.ppermute(Ut[-1:], "t", perm=t_fwd)
+        sh = jnp.concatenate([prev, Ut[:-1]], axis=0)
+        pad = [(0, 0)] * sh.ndim
+        pad[-2] = (1, 1)
+        if is3d:
+            pad[-1] = (Xh, Xh)
+        return jnp.pad(sh, pad)
+
+    def body(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o):
+        Xh = pe.shape[-1] // Yl
+        Ue_zy, Uo_zy = ext_zy(U_e, Xh), ext_zy(U_o, Xh)
+        offe_zy, offo_zy = ext_zy(off_e, Xh), ext_zy(off_o, Xh)
+        d_o = parity_hop_pallas_extzy(
+            ext_t(ext_zy(pe, Xh)), Uo_zy, Ue_zy, shift_ut_ext(Ut_e, Xh),
+            offo_zy, Y=Yl, dagger=dagger,
+            A_post=Ainv_o if has_clover else None, z_ext=True, y_ext=is3d)
+        return parity_hop_pallas_extzy(
+            ext_t(ext_zy(d_o, Xh)), Ue_zy, Uo_zy, shift_ut_ext(Ut_o, Xh),
+            offe_zy, Y=Yl, dagger=dagger, kappa2=k2, psi_out=pe,
+            A_comb=A_e if has_clover else None, z_ext=True, y_ext=is3d)
+
+    y = "y" if is3d else None
+    f_spec = P("t", None, "z", y)            # psi / off / A (packed)
+    u_spec = P("t", None, None, "z", y)      # U [T, 4, 18, Z, YXh]
+    ut_spec = P("t", None, "z", y)           # Ut [T, 18, Z, YXh]
+    # without clover the A slots carry [T,1,1,1] dummies — t-shard only
+    a_spec = f_spec if has_clover else P("t", None, None, None)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(f_spec, u_spec, ut_spec, u_spec, ut_spec,
+                  f_spec, f_spec, a_spec, a_spec),
+        out_specs=f_spec,
+        **_shard_map_kwargs(),
+    )
+    return jax.jit(sharded)
+
+
 @dataclass
 class ShardedSchurKernelPacked:
     """Packed even-even Schur (Wilson or asymmetric clover pc) over a 1D
@@ -242,17 +336,33 @@ class ShardedSchurKernelPacked:
 
     def __post_init__(self):
         has_c = self.op.A_e is not None
-        s = NamedSharding(self.mesh, P("t"))
-        put = lambda a: jax.device_put(a, s)
-        self.U_e, self.U_o = put(self.op.U_e), put(self.op.U_o)
-        self.Ut_e, self.Ut_o = put(self.op.Ut_e), put(self.op.Ut_o)
-        self.off_e, self.off_o = put(self.op.off_e), put(self.op.off_o)
+        multi = _is_2d(self.mesh) or _is_3d(self.mesh)
+        y = "y" if _is_3d(self.mesh) else None
+        z = "z" if multi else None
+        f_s = NamedSharding(self.mesh, P("t", None, z, y))
+        u_s = NamedSharding(self.mesh, P("t", None, None, z, y))
+        putf = lambda a: jax.device_put(a, f_s)
+        putu = lambda a: jax.device_put(a, u_s)
+        self.U_e, self.U_o = putu(self.op.U_e), putu(self.op.U_o)
+        self.Ut_e, self.Ut_o = putf(self.op.Ut_e), putf(self.op.Ut_o)
+        self.off_e, self.off_o = putf(self.op.off_e), putf(self.op.off_o)
         if has_c:
-            self.A_e, self.Ainv_o = put(self.op.A_e), put(self.op.Ainv_o)
+            self.A_e = putf(self.op.A_e)
+            self.Ainv_o = putf(self.op.Ainv_o)
         else:
             T = self.U_e.shape[0]
-            dummy = put(jnp.zeros((T, 1, 1, 1), self.U_e.dtype))
+            dummy = jax.device_put(
+                jnp.zeros((T, 1, 1, 1), self.U_e.dtype),
+                NamedSharding(self.mesh, P("t", None, None, None)))
             self.A_e = self.Ainv_o = dummy
+        if multi:
+            # 2D/3D meshes: halo-extended full-width local stencil
+            self._m = make_sharded_schur_m_zy(
+                self.mesh, self.op.Y, self.op.kappa, has_clover=has_c)
+            self._mdag = make_sharded_schur_m_zy(
+                self.mesh, self.op.Y, self.op.kappa, dagger=True,
+                has_clover=has_c)
+            return
         by = getattr(self.op, "by", None)
         self._m = make_sharded_schur_m(self.mesh, self.op.Y, self.op.kappa,
                                        has_clover=has_c, by=by)
@@ -299,7 +409,10 @@ class ShardedSchurKernelPacked:
         return self.op.unpack_even(pe)
 
     def place(self, pe):
-        return jax.device_put(pe, NamedSharding(self.mesh, P("t")))
+        z = "z" if _is_2d(self.mesh) else None
+        y = "y" if _is_3d(self.mesh) else None
+        return jax.device_put(pe, NamedSharding(self.mesh,
+                                                P("t", None, z, y)))
 
     @property
     def field_shape(self):
@@ -311,8 +424,8 @@ class ShardedSchurKernelPacked:
 
     @classmethod
     def from_packed_op(cls, mesh: Mesh, op) -> "ShardedSchurKernelPacked":
-        if _is_2d(mesh) or _is_3d(mesh):
-            raise NotImplementedError(
-                "sharded packed pc operator supports a 1D 't' mesh "
-                "(z/y-sharded parity kernels pending)")
+        """1D 't', 2D ('t','z') and 3D ('t','z','y') meshes — the packed
+        operator composes with every supported lattice decomposition
+        (reference pc_solve is grid-agnostic,
+        /root/reference/lib/eigsolve_mugiq.cpp:169-181)."""
         return cls(mesh=mesh, op=op)

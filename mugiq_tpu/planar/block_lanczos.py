@@ -255,17 +255,24 @@ def block_lanczos_hermitian_realpair(
         cache["restart_update"] = _make_block_restart_update(
             ax, m, b, k, rdtype)
         cache["rotate"] = jax.jit(lambda V, Qr, Qi: rotate(V[:m], Qr, Qi))
-        cache["qr0"] = jax.jit(lambda W: _qr_block(W.astype(rdtype),
-                                                   ax, rdtype)[0])
         cache["pack"] = jax.jit(lambda T, B: jnp.concatenate(
             [jnp.reshape(T, (-1,)), jnp.reshape(B, (-1,))]))
+
+        # basis init INSIDE one jit (mirrors the scalar solver): eager
+        # zeros(...).at[:b].set() transiently holds TWO full V buffers
+        # (16 GB at 32^3x64 nKr=48) — newly reachable here now that bf16
+        # block bases are allowed at large volume
+        def _init(W):
+            Vz = jnp.zeros((m + b,) + shape, dtype=bdtype)
+            return Vz.at[:b].set(_qr_block(W.astype(rdtype),
+                                           ax, rdtype)[0].astype(bdtype))
+
+        cache["init"] = (jax.jit(_init, out_shardings=sharding)
+                         if sharding is not None else jax.jit(_init))
     cycle = cache["cycle"]
     restart_update = cache["restart_update"]
 
-    V = jnp.zeros((m + b,) + shape, dtype=bdtype)
-    V = V.at[:b].set(cache["qr0"](W0).astype(bdtype))
-    if sharding is not None:
-        V = jax.device_put(V, sharding)
+    V = cache["init"](W0)
     Tmat = jnp.zeros((m, m, 2), dtype=rdtype)
 
     j0b = 0

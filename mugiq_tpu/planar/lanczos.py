@@ -456,7 +456,7 @@ def lanczos_hermitian_realpair(
 
 
 def rayleigh_ritz_refine(matvec, evecs, re_im_axis: int = 0,
-                         matvec_args: tuple = ()):
+                         matvec_args: tuple = (), aot_tag: str = None):
     """Second Rayleigh-Ritz pass on the ORIGINAL operator.
 
     Ritz vectors from a polynomial-accelerated solve bottom out at the
@@ -481,24 +481,41 @@ def rayleigh_ritz_refine(matvec, evecs, re_im_axis: int = 0,
     # ALL projections accumulate in f64: the f32 reduction noise of a
     # 5e7-element dot (~2e-5 relative) times ||A||/cluster-gap is exactly
     # the ~3e-3 floor the refinement exists to remove (QUDA reduces in
-    # double for single-precision fields for the same reason).  Products
-    # stay f32; the convert fuses into the reduction (no f64 copy of V).
+    # double for single-precision fields for the same reason).  On TPU
+    # f64 is emulated but accurate (~3e-15) — the catch is that x64 mode
+    # breaks PALLAS tracing, so the operator apply (which traces the
+    # pallas kernel) runs in a plain f32 jit and only the reductions are
+    # traced under jax.enable_x64().  A bare .astype(f64) without x64
+    # silently canonicalizes to f32 and the floor returns.
     red_axes = tuple(range(1, evecs.ndim))
 
-    def red64(V, u):
-        return jnp.sum((V * u[None]).astype(jnp.float64), axis=red_axes)
-
     @jax.jit
-    def apply_and_project(V, j, *a):
+    def apply(V, j, *a):
         v = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
-        w = matvec(v, *a)
-        h = jnp.stack([red64(V, w), red64(V, _jrot(w, ax))], axis=-1)
-        g = jnp.stack([red64(V, v), red64(V, _jrot(v, ax))], axis=-1)
+        return v, matvec(v, *a)
+
+    if aot_tag is not None:
+        # executable disk cache for the matvec-tracing jits (the one-shot
+        # refine cost ~31 s at 32^3x64, almost all trace+tunnel compile);
+        # the caller's tag pins the operator identity baked into matvec
+        from ..aot_cache import maybe_aot
+        apply = maybe_aot(apply, f"{aot_tag}-rrr-apply")
+
+    def project64(V, v, w):
+        def red64(u):
+            return jnp.sum((V * u[None]).astype(jnp.float64),
+                           axis=red_axes)
+        h = jnp.stack([red64(w), red64(_jrot(w, ax))], axis=-1)
+        g = jnp.stack([red64(v), red64(_jrot(v, ax))], axis=-1)
         return h, g                        # H[:, j], G[:, j]  (each [n, 2])
 
+    project64 = jax.jit(project64)
     Hc, Gc = [], []
     for j in range(n):
-        h, g = apply_and_project(evecs, jnp.asarray(j), *matvec_args)
+        # the apply traces pallas -> MUST be dispatched outside x64 mode
+        v, w = apply(evecs, jnp.asarray(j, jnp.int32), *matvec_args)
+        with jax.enable_x64():
+            h, g = project64(evecs, v, w)
         Hc.append(np.asarray(h))
         Gc.append(np.asarray(g))
     H = np.stack([c[..., 0] + 1j * c[..., 1] for c in Hc], axis=1)
@@ -515,16 +532,26 @@ def rayleigh_ritz_refine(matvec, evecs, re_im_axis: int = 0,
                else jnp.concatenate(chunks, axis=0))
 
     @jax.jit
-    def resid(V, j, lam, *a):
+    def resid_diff(V, j, lam, *a):
         v = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
         w = matvec(v, *a)
-        d = lam * v - w
+        return lam * v - w
+
+    if aot_tag is not None:
+        from ..aot_cache import maybe_aot
+        resid_diff = maybe_aot(resid_diff, f"{aot_tag}-rrr-resid")
+
+    def norm64(d):
         return jnp.sqrt(jnp.sum((d * d).astype(jnp.float64)))
 
-    rs = np.asarray([float(resid(refined, jnp.asarray(j),
-                                 jnp.asarray(theta[j], evecs.dtype),
-                                 *matvec_args)) for j in range(n)])
-    return refined, theta, rs
+    norm64 = jax.jit(norm64)
+    rs = []
+    for j in range(n):
+        d = resid_diff(refined, jnp.asarray(j, jnp.int32),
+                       jnp.asarray(theta[j], evecs.dtype), *matvec_args)
+        with jax.enable_x64():
+            rs.append(float(norm64(d)))
+    return refined, theta, np.asarray(rs)
 
 
 def lanczos_hermitian_planar(matvec, v0, n_ev, n_kr, **kw):

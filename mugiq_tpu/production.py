@@ -383,7 +383,8 @@ def compute_evecs_production(U_np: np.ndarray, gauge: GaugeParam,
         from .planar.lanczos import rayleigh_ritz_refine
         with phase_timer("rayleigh-ritz-refine"):
             refined, theta, rs_abs = rayleigh_ritz_refine(
-                base_fn, res.evecs, re_im_axis=1, matvec_args=op_args)
+                base_fn, res.evecs, re_im_axis=1, matvec_args=op_args,
+                aot_tag=lanczos_kw.get("aot_tag"))
         res.evecs = refined
         evals = np.asarray(theta[:eig.n_ev]) * scale
         sigma = np.sqrt(np.maximum(evals, 0.0))
@@ -456,22 +457,106 @@ def compute_loop_production(U_np: np.ndarray, gauge: GaugeParam,
         precision=precision, basis_precision=basis_precision,
         compile_cache=compile_cache)
 
-    # kernel layout -> planar for the measurement.  The kernel-layout evec
-    # block is dead after the relayout: donate it and drop the reference —
-    # at 32^3x64 each copy is n_ev * 200 MB of HBM and the measurement's
-    # displacement chain needs the headroom (measured OOM without this).
-    evecs_pl = _to_planar_jit(geom.dims[1])(res.evecs)          # [n, 2, 4, 3, T, Z, Y, X]
-    res.evecs = None
-
-    data_mom, pos_np = _measure_production(
-        geom, loop_param, cp, evecs_pl, sigma,
-        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos,
-        mesh=mesh)
+    U_meas = U_loop_np if U_loop_np is not None else np.asarray(U_np)
+    if mesh is None:
+        # kernel-layout measurement: the evec batch never leaves the
+        # eigensolver's native layout (no planar relayout copy, pallas
+        # contraction/displacement kernels)
+        evecs_k = res.evecs
+        res.evecs = None
+        data_mom, pos_np = _measure_production_kernel(
+            geom, loop_param, cp, evecs_k, sigma, U_meas, keep_pos)
+    else:
+        # sharded measurement stays planar (rolls lower to collective
+        # permutes; momentum projection psums across shards)
+        evecs_pl = _to_planar_jit(geom.dims[1])(res.evecs)
+        res.evecs = None
+        data_mom, pos_np = _measure_production(
+            geom, loop_param, cp, evecs_pl, sigma, U_meas, keep_pos,
+            mesh=mesh)
 
     return ProductionResult(
         evals=evals, sigma=sigma, resids=np.asarray(rs),
         data_mom=data_mom, data_pos=pos_np,
         converged=res.converged, n_restarts=res.n_restarts)
+
+
+def _measure_production_kernel(geom, loop_param, cp, evecs_k, sigma,
+                               U_loop_np, keep_pos):
+    """KERNEL-LAYOUT measurement (single-device production default).
+
+    The evec batch stays in the eigensolver's native [n, T, 24, Z, YX]
+    layout end-to-end: spin-pair contraction and covariant displacement
+    are small pallas kernels (pallas/contract_kernel.py) instead of the
+    unrolled planar graphs — the planar measurement's trace+tunnel-compile
+    cost 141.5 s at 32^3x64 (artifacts/flagship32_cli.log) against ~1 s
+    of actual compute; the pallas bodies compile in seconds and run at
+    HBM bandwidth (reference: ONE contraction kernel over all gammas,
+    /root/reference/lib/mugiq_contract_kernels.cu:46-122)."""
+    from .pallas.contract_kernel import pick_gl_by
+
+    inv_sigma = jnp.asarray(1.0 / sigma, dtype=jnp.float32)
+    Yd = geom.dims[1]
+    by = pick_gl_by(Yd, geom.dims[0])
+    # loop gauge -> kernel layout VIA HOST numpy (a device-side transpose
+    # would double-buffer the 2.4 GB planar copy at 32^3x64)
+    up = _planar_gauge_np(U_loop_np, False)          # [2,4,3,3,T,Z,Y,X]
+    T, Z, Y, X = up.shape[4:]
+    uk = np.ascontiguousarray(
+        np.transpose(up, (4, 1, 0, 2, 3, 5, 6, 7)).reshape(
+            T, 4, 18, Z, Y * X))
+    U_loop_k = jnp.asarray(uk)
+    del up, uk
+
+    contract = _contract_aot(Yd, by)
+    slots = [None] * cp.n_loop
+    with phase_timer("loop-contraction"):
+        slots[0] = contract(evecs_k, evecs_k, inv_sigma)
+        for ie, (dstr, start, stop) in enumerate(cp.disp_entries):
+            vR = evecs_k
+            count = 0
+            for idisp in range(1, stop + 1):
+                disp = _displace_aot(dstr, Yd, by)
+                # first step copies (the displace jit donates its input;
+                # the evec batch must survive as the contraction L side)
+                vR = disp(vR if idisp > 1 else vR + 0.0, U_loop_k)
+                if start <= idisp <= stop:
+                    slots[cp.n_loop_offset[ie] + count] = contract(
+                        evecs_k, vR, inv_sigma)
+                    count += 1
+            vR = None
+        data_pos = jnp.stack(slots)          # [l, 2, 16, T, Z, Y, X]
+        del slots
+    evecs_k = None
+    U_loop_k = None
+    return _measure_tail(geom, loop_param, cp, data_pos, keep_pos,
+                         mesh=None)
+
+
+@lru_cache(maxsize=None)
+def _g5map_aot():
+    from .aot_cache import maybe_aot
+    return maybe_aot(_jit_of(map_gamma_g5_planar), "g5map")
+
+
+@lru_cache(maxsize=None)
+def _momproj_aot():
+    from .aot_cache import maybe_aot
+    return maybe_aot(_jit_of(momentum_project_production), "momproj")
+
+
+@lru_cache(maxsize=None)
+def _contract_aot(Y: int, by: int):
+    from .aot_cache import maybe_aot
+    from .pallas.contract_kernel import contract_jit
+    return maybe_aot(contract_jit(Y, by), f"contract-{Y}-{by}")
+
+
+@lru_cache(maxsize=None)
+def _displace_aot(dstr: str, Y: int, by: int):
+    from .aot_cache import maybe_aot
+    from .pallas.contract_kernel import displace_jit
+    return maybe_aot(displace_jit(dstr, Y, by), f"disp-{dstr}-{Y}-{by}")
 
 
 def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
@@ -516,7 +601,13 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
     # the HBM ceiling at 32^3x64; a fragmented allocator OOMed here)
     evecs_pl = None
     U_loop_pl = None
+    return _measure_tail(geom, loop_param, cp, data_pos, keep_pos,
+                         mesh=mesh)
 
+
+def _measure_tail(geom, loop_param, cp, data_pos, keep_pos, mesh=None):
+    """g5 map + momentum projection + HDF5 + keep_pos epilogue, shared by
+    the planar and kernel-layout measurements."""
     data_mom = None
     mapped = None
     if loop_param.do_mom_proj:
@@ -527,12 +618,12 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         with phase_timer("momentum-projection"):
             # jit + donate: eager map/reshape materialize full-volume
             # temporaries the allocator may not have room for
-            mapped = _jit_of(map_gamma_g5_planar)(data_pos)
+            mapped = _g5map_aot()(data_pos)
             if mesh is not None:
                 # einsum form: (z,y,x) contraction psums across shards
                 lgtp = _jit_of(momentum_project_planar)(mapped, ph)
             else:
-                lgtp = _jit_of(momentum_project_production)(mapped, ph)
+                lgtp = _momproj_aot()(mapped, ph)
         # multi-host: the projected data is tiny ([l,2,16,T,P]) — gather it
         # on every process (the reference's COMM_TIME MPI_Gather + world
         # Bcast epilogue, loop_mugiq.cpp:420-424)
@@ -552,7 +643,7 @@ def _measure_production(geom, loop_param, cp, evecs_pl, sigma, U_loop_np,
         # g5-mapped, like the validation API (api.py writes map_gamma_g5
         # data for consistency with the momentum-space output).
         if mapped is None:
-            mapped = _jit_of(map_gamma_g5_planar)(data_pos)
+            mapped = _g5map_aot()(data_pos)
         if jax.process_count() > 1:
             # multi-host: each process writes its (t, z) hyperslabs to a
             # per-host shard file (+ offsets); assemble_loops_hdf5_pos
@@ -705,20 +796,32 @@ def _compute_loop_production_mg(U_np, gauge, inv, eig, loop_param, mg,
     with phase_timer("prolongate"):
         fine = env.prolongate_batch(res.evecs)
     from .mg.kernel_mg import TransferKernelMG
-    if isinstance(env.transfers[0], TransferKernelMG):
-        # kernel-layout prolongation output -> planar via the production
-        # conversion (the proven 32^3 path)
-        evecs_pl = _to_planar_jit(geom.dims[1])(fine)
-    else:
-        evecs_pl = _rc_evecs_to_planar(fine)
-    if host_setup:
-        # hand the prolongated evecs to the chip for the measurement
-        evecs_pl = jax.device_put(evecs_pl, jax.devices()[0])
+    kernel_transfer = isinstance(env.transfers[0], TransferKernelMG)
+    # the MG hierarchy is dead past the prolongation: free the fine-level
+    # transfer basis (nvec * 200 MB at 32^3x64) and the operator operands
+    # before the measurement — the round-4 time_mg32 run OOMed at the
+    # measurement epilogue with them still resident
+    env = None
+    fast_op = None
+    res.evecs = None
+    U_meas = U_loop_np if U_loop_np is not None else np.asarray(U_np)
 
-    data_mom, pos_np = _measure_production(
-        geom, loop_param, cp, evecs_pl, sigma,
-        U_loop_np if U_loop_np is not None else np.asarray(U_np), keep_pos,
-        mesh=mesh)
+    if kernel_transfer and mesh is None and not host_setup:
+        # fine vectors are already kernel-layout: measure there directly
+        data_mom, pos_np = _measure_production_kernel(
+            geom, loop_param, cp, fine, sigma, U_meas, keep_pos)
+    else:
+        if kernel_transfer:
+            evecs_pl = _to_planar_jit(geom.dims[1])(fine)
+        else:
+            evecs_pl = _rc_evecs_to_planar(fine)
+        fine = None
+        if host_setup:
+            # hand the prolongated evecs to the chip for the measurement
+            evecs_pl = jax.device_put(evecs_pl, jax.devices()[0])
+        data_mom, pos_np = _measure_production(
+            geom, loop_param, cp, evecs_pl, sigma, U_meas, keep_pos,
+            mesh=mesh)
 
     return ProductionResult(
         evals=evals, sigma=sigma, resids=np.asarray(rs),

@@ -42,8 +42,19 @@ class ProductionSession:
 
     def _cache_for(self, gauge, inv, eig, precision, basis_precision,
                    even_odd, mesh):
-        key = (tuple(gauge.dims), inv.dslash_type, eig.n_kr, eig.n_ev,
-               eig.operator, precision, basis_precision, even_odd,
+        # The cached Lanczos cycle / Rayleigh executables bake EVERYTHING
+        # about the traced matvec in as closure/static constants — kappa,
+        # csw, mass normalization, boundary phases, anisotropy, and the
+        # Chebyshev window — so the key must cover the full operator
+        # identity, not just shapes.  A request differing only in kappa
+        # must NOT reuse the previous operator's executables.
+        key = (tuple(gauge.dims), gauge.antiperiodic_t, gauge.anisotropy,
+               inv.dslash_type, inv.kappa, inv.mass, inv.csw,
+               inv.anisotropy, inv.mass_normalization,
+               eig.n_kr, eig.n_ev, eig.operator, eig.spectrum,
+               eig.use_poly_acc, eig.poly_deg, eig.a_min, eig.a_max,
+               eig.block_size,
+               precision, basis_precision, even_odd,
                None if mesh is None else tuple(mesh.shape.items()))
         return self._caches.setdefault(key, {})
 

@@ -71,11 +71,26 @@ class DeflationSpaceKernel:
         return _caxpy_basis(dr / self.evals, di / self.evals, self.evecs)
 
     def trace_contribution_planar(self, Y):
-        """[2, 16, T, Z, Y, X]: sum_n lambda_n^{-1} (M v_n)^dag Gamma v_n."""
-        to_pl = jax.jit(jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y)))
-        return loop_contract_production(
-            to_pl(self.M_evecs), to_pl(self.evecs),
-            1.0 / self.evals)
+        """[2, 16, T, Z, Y, X]: sum_n lambda_n^{-1} (M v_n)^dag Gamma v_n.
+
+        Pallas kernel-layout contraction — the planar unrolled form ran
+        EAGERLY here and materialized every 100 MB spin-pair temporary
+        (OOMed the round-4 stoch32 run at 32^3x64)."""
+        try:
+            multi = len(self.evecs.sharding.device_set) > 1
+        except AttributeError:
+            multi = False
+        if multi:
+            # sharded basis: planar contraction INSIDE one jit (sharding
+            # propagates; eager unrolled form materializes every temp)
+            @jax.jit
+            def f(Mv, V, w):
+                to_pl = jax.vmap(lambda v: dk.from_kernel_spinor(v, Y=Y))
+                return loop_contract_production(to_pl(Mv), to_pl(V), w)
+            return f(self.M_evecs, self.evecs, 1.0 / self.evals)
+        from .pallas.contract_kernel import loop_contract_pallas
+        return loop_contract_pallas(self.M_evecs, self.evecs,
+                                    1.0 / self.evals, Y=Y)
 
 
 def stochastic_loop_trace_production(
@@ -105,9 +120,15 @@ def stochastic_loop_trace_production(
         return cg_realpair(lambda v: fn_mm(v, *a), fn_md(rhs, *a),
                            tol=solver_tol, maxiter=solver_maxiter)
 
-    to_pl = jax.jit(lambda v: dk.from_kernel_spinor(v, Y=Y))
-    contract = jax.jit(loop_contract_production)
+    from .pallas.contract_kernel import loop_contract_pallas
     place = getattr(op, "place", lambda x: x)
+    sharded = getattr(op, "mesh", None) is not None
+    if sharded:
+        # sharded fields: the planar contraction propagates the sharding
+        # through XLA (pallas grids don't)
+        to_pl = jax.jit(lambda v: dk.from_kernel_spinor(v, Y=Y))
+        contract = jax.jit(loop_contract_production)
+    ones1 = jnp.ones((1,), jnp.float32)
 
     acc = None
     for i in range(n_noise):
@@ -122,8 +143,10 @@ def stochastic_loop_trace_production(
         log(f"stochastic production: noise {i}: iters={int(res.iters)} "
             f"resid={float(res.resid):.2e}")
         s = res.x  # remainder solve only: (M^{-1} - Mdefl^{-1}) eta
-        contrib = contract(to_pl(eta)[None], to_pl(s)[None],
-                           jnp.ones((1,), jnp.float32))
+        if sharded:
+            contrib = contract(to_pl(eta)[None], to_pl(s)[None], ones1)
+        else:
+            contrib = loop_contract_pallas(eta[None], s[None], ones1, Y=Y)
         acc = contrib if acc is None else acc + contrib
     data = acc / n_noise
     if deflation is not None:

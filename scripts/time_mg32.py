@@ -1,12 +1,12 @@
 """MG-deflated production loops at 32^3x64 on the real chip.
 
 2-level real-pair Galerkin hierarchy (block 4^4 -> 8x8x8x16 coarse,
-nvec=12), coarse eigensolve + recursive prolongation + loops.  Round-4:
-the fine-level transfer/Galerkin run ON CHIP via the split-layout
-(no-transpose) path (mg/rc_mg_split.py) — the round-3 blocked-agg
-formulation hung the tunnelled compiler and the host-CPU fallback never
-finished.  The MG hierarchy checkpoint is exercised: the first run
-saves, a second production call loads it and skips setup.
+nvec=12), coarse eigensolve + recursive prolongation + loops.  The
+fine-level transfer/Galerkin runs ON CHIP via the KERNEL-layout path
+(mg/kernel_mg.py, the production default at this volume — rc/split
+layouts relayout catastrophically at 32^3x64; see CLAUDE.md).  The MG
+hierarchy checkpoint is exercised: the first run saves, a second
+production call loads it and skips setup.
 
 Writes artifacts/time_mg32.json (phase breakdown + residuals).
 """
@@ -45,7 +45,7 @@ def main():
 
     gp = GaugeParam(dims=DIMS)
     ip = InvertParam(dslash_type=DslashType.WILSON, kappa=0.12)
-    ep = EigParam(n_ev=8, n_kr=24, tol=1e-6, max_restarts=50,
+    ep = EigParam(n_ev=8, n_kr=24, tol=1e-6, max_restarts=120,
                   operator=EigOperator.MdagM, check_interval=2)
     lp = LoopParam(momenta=[(0, 0, 0), (1, 0, 0)], do_mom_proj=True,
                    do_nonlocal=False, write_mom_space_hdf5=True,

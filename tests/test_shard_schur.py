@@ -32,6 +32,15 @@ def _tmesh():
     return Mesh(np.asarray(jax.devices()[:8]), ("t",))
 
 
+def _mesh2d():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "z"))
+
+
+def _mesh3d():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("t", "z", "y"))
+
+
 def _setup(clover: bool):
     gp = GaugeParam(dims=GEOM.dims)
     ip = InvertParam(
@@ -52,10 +61,12 @@ def _setup(clover: bool):
     return op, pe
 
 
+@pytest.mark.parametrize("mk_mesh", [_tmesh, _mesh2d, _mesh3d],
+                         ids=["1d-t", "2d-tz", "3d-tzy"])
 @pytest.mark.parametrize("clover", [False, True], ids=["wilson", "clover"])
-def test_sharded_packed_schur_matches_single_device(clover):
+def test_sharded_packed_schur_matches_single_device(clover, mk_mesh):
     op, pe = _setup(clover)
-    sop = ShardedSchurKernelPacked.from_packed_op(_tmesh(), op)
+    sop = ShardedSchurKernelPacked.from_packed_op(mk_mesh(), op)
     pes = sop.place(pe)
     for name in ("M", "Mdag", "MdagM"):
         ref = np.asarray(getattr(op, name)(pe))
