@@ -145,6 +145,11 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
         variants["base"] = lambda p, U, Ut, A: wilson_m_pallas(
             p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
             has_clover=has_clover)
+        # project-then-shift body: ~2.7x fewer shifted tiles (candidate
+        # on the VMEM-resident regime where the VPU body matters)
+        variants["psb"] = lambda p, U, Ut, A: wilson_m_pallas(
+            p, U, Ut, A, Y=Y, kappa=kappa, dagger=dagger,
+            has_clover=has_clover, ps=True)
         for bt in (2, 4):
             if T % bt == 0:
                 variants[f"win{bt}"] = lambda p, U, Ut, A, b=bt: (
@@ -160,6 +165,10 @@ def tune_wilson_m(U_k, Ut_k, A144, Y, kappa, has_clover, psi,
         variants[f"gl{by}"] = lambda p, U, Ut, A, b=by: (
             wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
                                dagger=dagger, has_clover=has_clover))
+        variants[f"psgl{by}"] = lambda p, U, Ut, A, b=by: (
+            wilson_m_pallas_gl(p, U, Ut, A, Y=Y, kappa=kappa, by=b,
+                               dagger=dagger, has_clover=has_clover,
+                               ps=True))
     if gl_feasible:
         # t-blocked gl and manual-DMA t-window variants: both measured
         # SLOWER than plain gl at 32^3x64 (BlockSpec pipelining degrades

@@ -202,6 +202,15 @@ class WilsonDiracKernel:
 
         has_c = self.A_blocks is not None
         var = self._mdag_variant if dagger else self._m_variant
+        if var.startswith("psgl"):
+            return wilson_m_pallas_gl(psi, U, Ut, A, Y=self.Y,
+                                      kappa=self.kappa, by=int(var[4:]),
+                                      dagger=dagger, has_clover=has_c,
+                                      ps=True)
+        if var == "psb":
+            return wilson_m_pallas(psi, U, Ut, A, Y=self.Y,
+                                   kappa=self.kappa, dagger=dagger,
+                                   has_clover=has_c, ps=True)
         if var.startswith("wing"):
             by, bt = (int(v) for v in var[4:].split("."))
             return wilson_m_pallas_win(psi, U, Ut, A, Y=self.Y,

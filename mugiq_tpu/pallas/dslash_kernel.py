@@ -79,7 +79,8 @@ def _qr(mu, forward):
     return q, r
 
 
-def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
+def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link,
+              shift_h=None, shift_g=None):
     """One directed Wilson hop: project-to-half-spinor, SU(3) multiply,
     reconstruct, accumulate via add_acc(s, c, re, im).
 
@@ -89,7 +90,14 @@ def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
     g5 D g5: the link structure is identical, only the spin projectors
     swap sign of gamma ((1 -/+ g) -> (1 +/- g)) — g5 is fused away.
     Shared by the full-volume kernels (make_slice_compute) and the packed
-    even-odd parity kernel (schur_kernel)."""
+    even-odd parity kernel (schur_kernel).
+
+    shift_h / shift_g (optional, project-then-shift mode): get_psi /
+    get_link then return SOURCE-site components and the shift is applied
+    once to the 12 projected (shift_h, forward hops) or link-multiplied
+    (shift_g, backward hops) components — shifts commute with per-site
+    linear maps, and this cuts shifted tiles per spatial hop pair from
+    24+24+18 to 12+12."""
     # operator dagger: swapped spin projectors (g5 fused away)
     q, r = _qr(mu, forward != dagger)
     # project to half spinor h[hs][c]
@@ -114,6 +122,11 @@ def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
                 hr = tr if hr is None else hr + tr
                 hi = ti if hi is None else hi + ti
             h[(hs, c)] = (hr, hi)
+    if shift_h is not None:
+        # project-then-shift: the spin projection is per-site linear, so
+        # shifting the 12 half-spinor components replaces shifting the 24
+        # psi components (see make_slice_compute ps=True)
+        h = {k: (shift_h(v[0]), shift_h(v[1])) for k, v in h.items()}
     # link multiply g[hs][a] = sum_b U[a,b] h[hs][b]
     g = {}
     for hs in range(2):
@@ -128,6 +141,11 @@ def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
                 gr = tr if gr is None else gr + tr
                 gi = ti if gi is None else gi + ti
             g[(hs, a)] = (gr, gi)
+    if shift_g is not None:
+        # backward hops: U^dag(x-mu) h(x-mu) computed at the SOURCE site
+        # and the 12-component product shifted once — replaces shifting 18
+        # link + 24 psi components
+        g = {k: (shift_g(v[0]), shift_g(v[1])) for k, v in g.items()}
     # reconstruct out[s][c] += r[s, hs] g[hs][c]
     for s in range(4):
         for hs in range(2):
@@ -147,7 +165,8 @@ def apply_hop(add_acc, dagger, mu, forward, get_psi, get_link):
                 add_acc(s, c, vr, vi)
 
 
-def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
+def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False,
+                       ps: bool = False):
     """Per-time-slice dslash body, parameterised over component getters.
 
     Returns compute(pm, pc, pp, uc, utm, write) where pm/pc/pp(s, c, r) give
@@ -159,6 +178,13 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
     dagger=True computes the adjoint hopping term D^dag = g5 D g5: the link
     structure is identical, only the spin projectors swap sign of gamma
     ((1 -/+ g) -> (1 +/- g)) — g5 is fused away entirely.
+
+    ps=True: project-then-shift — spatial shifts are applied to the 12
+    projected half-spinor components (forward hops) / the 12 link-
+    multiplied components (backward hops, links fetched at the SOURCE
+    site) instead of to 24 psi + 18 link components.  Shifts commute
+    with per-site linear maps, so the result is exact up to f32 op
+    order; the shift/select VPU work drops ~2.7x.
     """
     YX = Y * X
 
@@ -190,11 +216,25 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
                 ar, ai = acc[s][c]
                 acc[s][c] = (ar + vr, ai + vi)
 
-        def hop(mu, forward, get_psi, get_link):
-            apply_hop(add_acc, dagger, mu, forward, get_psi, get_link)
+        def hop(mu, forward, get_psi, get_link, **kw):
+            apply_hop(add_acc, dagger, mu, forward, get_psi, get_link, **kw)
 
         # ---- spatial directions: neighbours via in-VMEM shifts ----
         for mu in range(3):
+            if ps:
+                # forward: project at x+mu, shift the half spinor
+                hop(mu, True,
+                    get_psi=pc,
+                    get_link=lambda a, b, r, m=mu: uc(m, a, b, r),
+                    shift_h=lambda v, m=mu: shift_site(v, m, +1, col))
+                # backward: U^dag(x-mu) h(x-mu) formed at the source site,
+                # the 12-component product shifted once
+                hop(mu, False,
+                    get_psi=pc,
+                    get_link=lambda a, b, r, m=mu: (
+                        uc(m, b, a, r) if r == 0 else -uc(m, b, a, r)),
+                    shift_g=lambda v, m=mu: shift_site(v, m, -1, col))
+                continue
             # forward: (1 - g) U_mu(x) psi(x+mu)
             hop(mu, True,
                 get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r), m, +1, col),
@@ -223,7 +263,8 @@ def make_slice_compute(Z: int, Y: int, X: int, dagger: bool = False):
 
 
 def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
-                 z_ext: bool = False, y_ext: bool = False):
+                 z_ext: bool = False, y_ext: bool = False,
+                 ps: bool = False):
     """BlockSpec-pipelined kernel (one t-slice per grid step).
 
     z_ext=True: input blocks carry one halo row on each side of the z axis
@@ -242,7 +283,7 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
     """
     Zc = Z + 2 if z_ext else Z
     Yc = Y + 2 if y_ext else Y
-    compute = make_slice_compute(Zc, Yc, X, dagger=dagger)
+    compute = make_slice_compute(Zc, Yc, X, dagger=dagger, ps=ps)
     sl = slice(1, Z + 1) if z_ext else slice(None)
     sly = slice(X, -X) if y_ext else slice(None)
     f32 = jnp.float32
@@ -267,7 +308,8 @@ def _make_kernel(Z: int, Y: int, X: int, dagger: bool = False,
 
 
 def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
-                   clover: bool, z_ext: bool = False, y_ext: bool = False):
+                   clover: bool, z_ext: bool = False, y_ext: bool = False,
+                   ps: bool = False):
     """Fused full-operator kernel: out = A psi - kappa * hop(psi)
     (A = 1 without clover).  The clover matrix arrives as chiral 6x6 blocks
     flattened to 144 components: idx = ((chi*6 + k)*6 + j)*2 + r.
@@ -282,7 +324,7 @@ def _make_m_kernel(Z: int, Y: int, X: int, kappa: float, dagger: bool,
     the output dtype."""
     Zc = Z + 2 if z_ext else Z
     Yc = Y + 2 if y_ext else Y
-    compute = make_slice_compute(Zc, Yc, X, dagger=dagger)
+    compute = make_slice_compute(Zc, Yc, X, dagger=dagger, ps=ps)
     sl = slice(1, Z + 1) if z_ext else slice(None)
     sly = slice(X, -X) if y_ext else slice(None)
     f32 = jnp.float32
@@ -349,11 +391,11 @@ def pack_clover_kernel144(A_blocks: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("Y", "kappa", "dagger", "has_clover",
-                                   "out_dtype"))
+                                   "out_dtype", "ps"))
 def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
                     A144, Y: int, kappa: float, dagger: bool = False,
                     has_clover: bool = False,
-                    out_dtype=None) -> jnp.ndarray:
+                    out_dtype=None, ps: bool = False) -> jnp.ndarray:
     """Fused M(dag) application: A psi - kappa * hop (one kernel pass).
 
     A144: [T, 144, Z, YX] packed clover blocks (ignored unless has_clover).
@@ -361,7 +403,7 @@ def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
     psi_k's dtype."""
     T, _, Z, YX = psi_k.shape
     X = YX // Y
-    kernel = _make_m_kernel(Z, Y, X, kappa, dagger, has_clover)
+    kernel = _make_m_kernel(Z, Y, X, kappa, dagger, has_clover, ps=ps)
 
     spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -390,10 +432,10 @@ def wilson_m_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
     )(*args)
 
 
-@partial(jax.jit, static_argnames=("Y", "dagger", "out_dtype"))
+@partial(jax.jit, static_argnames=("Y", "dagger", "out_dtype", "ps"))
 def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
                       Y: int, dagger: bool = False,
-                      out_dtype=None) -> jnp.ndarray:
+                      out_dtype=None, ps: bool = False) -> jnp.ndarray:
     """Hopping term on kernel-layout arrays.
 
     psi_k [T, 24, Z, YX]; U_k [T, 4, 18, Z, YX]; Ut_k [T, 18, Z, YX] is the
@@ -404,7 +446,7 @@ def dslash_hop_pallas(psi_k: jnp.ndarray, U_k: jnp.ndarray, Ut_k: jnp.ndarray,
     T, _, Z, YX = psi_k.shape
     X = YX // Y
 
-    kernel = _make_kernel(Z, Y, X, dagger=dagger)
+    kernel = _make_kernel(Z, Y, X, dagger=dagger, ps=ps)
 
     spec_c = pl.BlockSpec((1, 24, Z, YX), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -480,7 +522,7 @@ def make_gl_shift(NBy: int, by: int, X: int, S: int, L: int):
 
 
 def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
-                    dirs=None):
+                    dirs=None, ps: bool = False):
     """Per-t-slice dslash body on the grouped-lane layout.
 
     The [Z, Y*X] minor dims of the kernel layout reshape FREELY (same
@@ -522,18 +564,32 @@ def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
 
         for mu in range(3):
             if want(mu, +1):
-                hop(mu, True,
-                    get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
-                                                             m, +1),
-                    get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
+                if ps:
+                    # project-then-shift (see make_slice_compute ps=True)
+                    hop(mu, True,
+                        get_psi=pc,
+                        get_link=lambda a, b, r, m=mu: uc(m, a, b, r),
+                        shift_h=lambda v, m=mu: shift_site(v, m, +1))
+                else:
+                    hop(mu, True,
+                        get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
+                                                                 m, +1),
+                        get_link=lambda a, b, r, m=mu: uc(m, a, b, r))
             if want(mu, -1):
-                hop(mu, False,
-                    get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
-                                                             m, -1),
-                    get_link=lambda a, b, r, m=mu: (
-                        shift_site(uc(m, b, a, r), m, -1)
-                        if r == 0 else
-                        -shift_site(uc(m, b, a, r), m, -1)))
+                if ps:
+                    hop(mu, False,
+                        get_psi=pc,
+                        get_link=lambda a, b, r, m=mu: (
+                            uc(m, b, a, r) if r == 0 else -uc(m, b, a, r)),
+                        shift_g=lambda v, m=mu: shift_site(v, m, -1))
+                else:
+                    hop(mu, False,
+                        get_psi=lambda s, c, r, m=mu: shift_site(pc(s, c, r),
+                                                                 m, -1),
+                        get_link=lambda a, b, r, m=mu: (
+                            shift_site(uc(m, b, a, r), m, -1)
+                            if r == 0 else
+                            -shift_site(uc(m, b, a, r), m, -1)))
         if want(3, +1):
             hop(3, True,
                 get_psi=lambda s, c, r: pp(s, c, r),
@@ -554,9 +610,9 @@ def make_gl_compute(Z: int, NBy: int, by: int, X: int, dagger: bool = False,
 
 
 def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False,
-                    dirs=None):
+                    dirs=None, ps=False):
     """Fused M(dag) (or hop, kappa=None) kernel on the grouped-lane view."""
-    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger, dirs=dirs)
+    compute = make_gl_compute(Z, NBy, by, X, dagger=dagger, dirs=dirs, ps=ps)
     f32 = jnp.float32
 
     def kernel(*refs):
@@ -622,14 +678,14 @@ def _make_gl_kernel(Z, NBy, by, X, kappa=None, dagger=False, clover=False,
 
 
 def _gl_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
-             out_dtype, dirs=None):
+             out_dtype, dirs=None, ps=False):
     T, _, Z, YX = psi_k.shape
     X = YX // Y
     assert Y % by == 0, (Y, by)
     NBy = Y // by
     S, L = Z * NBy, by * X
     kernel = _make_gl_kernel(Z, NBy, by, X, kappa=kappa, clover=clover,
-                             dagger=dagger, dirs=dirs)
+                             dagger=dagger, dirs=dirs, ps=ps)
     # reshapes below are free: [Z, Y*X] -> [Z*NBy, by*X] is the same
     # linear order
     psi_g = psi_k.reshape(T, 24, S, L)
@@ -666,13 +722,14 @@ def _gl_call(psi_k, U_k, Ut_k, A144, Y, by, kappa, clover, dagger,
     return out.reshape(T, 24, Z, YX)
 
 
-@partial(jax.jit, static_argnames=("Y", "by", "dagger", "out_dtype"))
+@partial(jax.jit, static_argnames=("Y", "by", "dagger", "out_dtype", "ps"))
 def dslash_hop_pallas_gl(psi_k, U_k, Ut_k, Y: int, by: int = 8,
-                         dagger: bool = False, out_dtype=None):
+                         dagger: bool = False, out_dtype=None,
+                         ps: bool = False):
     """Hopping term, grouped-lane kernel (one whole t-slice per grid step
-    at any volume; see make_gl_compute)."""
+    at any volume; see make_gl_compute).  ps: project-then-shift body."""
     return _gl_call(psi_k, U_k, Ut_k, None, Y, by, None, False, dagger,
-                    out_dtype)
+                    out_dtype, ps=ps)
 
 
 @partial(jax.jit, static_argnames=("Y", "by", "mu", "sign", "dagger"))
@@ -686,13 +743,14 @@ def dslash_hop_pallas_gl_dir(psi_k, U_k, Ut_k, Y: int, mu: int, sign: int,
 
 
 @partial(jax.jit, static_argnames=("Y", "by", "kappa", "dagger",
-                                   "has_clover"))
+                                   "has_clover", "ps"))
 def wilson_m_pallas_gl(psi_k, U_k, Ut_k, A144, Y: int, kappa: float,
                        by: int = 8, dagger: bool = False,
-                       has_clover: bool = False):
-    """Fused M(dag), grouped-lane kernel (large lattices)."""
+                       has_clover: bool = False, ps: bool = False):
+    """Fused M(dag), grouped-lane kernel (large lattices).  ps:
+    project-then-shift body (see make_slice_compute)."""
     return _gl_call(psi_k, U_k, Ut_k, A144 if has_clover else None, Y, by,
-                    kappa, has_clover, dagger, None)
+                    kappa, has_clover, dagger, None, ps=ps)
 
 
 # ---------------------------------------------------------------------------

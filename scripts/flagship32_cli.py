@@ -80,32 +80,47 @@ def main():
            "--loop-mom-space-filename", "/tmp/loops32_cli.h5",
            "--production"]
     print("CLI:", " ".join(cmd[1:]), flush=True)
-    t0 = time.perf_counter()
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          cwd="/root/repo", timeout=3600)
-    dt = time.perf_counter() - t0
-    sys.stdout.write(proc.stdout[-4000:])
-    sys.stderr.write(proc.stderr[-2000:])
-    assert proc.returncode == 0, proc.returncode
+    runs = {}
+    # cold + warm: the second process hits the serialized-executable and
+    # XLA disk caches (the reference's long-lived-process analog) — the
+    # one-shot trace/compile tax should collapse
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd="/root/repo", timeout=3600)
+        dt = time.perf_counter() - t0
+        sys.stdout.write(f"\n===== {tag} run =====\n")
+        sys.stdout.write(proc.stdout[-4000:])
+        sys.stderr.write(proc.stderr[-2000:])
+        assert proc.returncode == 0, proc.returncode
 
-    m = re.search(r"Computed plaquette is ([0-9.]+)", proc.stdout)
-    plaq_cli = float(m.group(1)) if m else None
-    resid = [float(v) for v in
-             re.findall(r"Residual = ([+-][0-9.e+-]+)", proc.stdout)]
-    tsol = re.search(r"Time for solution = ([0-9.]+)", proc.stdout)
+        m = re.search(r"Computed plaquette is ([0-9.]+)", proc.stdout)
+        resid = [float(v) for v in
+                 re.findall(r"Residual = ([+-][0-9.e+-]+)", proc.stdout)]
+        tsol = re.search(r"Time for solution = ([0-9.]+)", proc.stdout)
+        phases = {k: float(v) for k, v in re.findall(
+            r"PROFILE\s+([\w-]+):\s+([0-9.]+)s", proc.stdout)}
+        runs[tag] = {
+            "plaquette_cli": float(m.group(1)) if m else None,
+            "max_residual": max(resid) if resid else None,
+            "solution_s": float(tsol.group(1)) if tsol else None,
+            "phase_s": phases,
+            "total_process_s": round(dt, 1)}
+        print(f"[{tag}] solution {runs[tag]['solution_s']} s "
+              f"phases {phases}", flush=True)
 
     out = {"dims": list(DIMS),
            "invocation": "mugiq-loop " + " ".join(cmd[3:]),
            "gauge_file": GAUGE, "gauge": gauge_info,
-           "plaquette_cli": plaq_cli,
-           "max_residual": max(resid) if resid else None,
-           "solution_s": float(tsol.group(1)) if tsol else None,
-           "total_process_s": round(dt, 1),
+           "runs": runs,
+           "max_residual": runs["warm"]["max_residual"],
+           "solution_s": runs["warm"]["solution_s"],
            "hardware": "1x TPU v5e (tunnelled)"}
     with open("/root/repo/artifacts/flagship32_cli.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(f"\nwrote artifacts/flagship32_cli.json (total {dt:.1f} s)",
-          flush=True)
+    print("\nwrote artifacts/flagship32_cli.json "
+          f"(cold {runs['cold']['total_process_s']} s, "
+          f"warm {runs['warm']['total_process_s']} s)", flush=True)
 
 
 if __name__ == "__main__":
