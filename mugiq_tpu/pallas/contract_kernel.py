@@ -64,7 +64,9 @@ def _make_contract_kernel():
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        w = w_ref[0, 0].astype(f32)
+        # w_ref holds the whole [n, 1] weight vector (a (1,1) block fails
+        # the TPU (8,128) block-divisibility rule); pick this step's entry
+        w = w_ref[pl.program_id(1), 0].astype(f32)
         for b in range(4):
             for a in range(4):
                 rr = ri = None
@@ -119,7 +121,7 @@ def loop_contract_pallas(L_k, R_k, inv_sigma, Y: int, by: int = 0):
         _make_contract_kernel(),
         grid=(T, n),
         in_specs=[
-            bs((1, 1), lambda t, i: (i, 0)),
+            bs((n, 1), lambda t, i: (0, 0)),
             bs((1, 1, 24, S, Lw), lambda t, i: (i, t, 0, 0, 0)),
             bs((1, 1, 24, S, Lw), lambda t, i: (i, t, 0, 0, 0)),
         ],
