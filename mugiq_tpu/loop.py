@@ -48,6 +48,15 @@ class LoopComputeParam:
 
     @classmethod
     def build(cls, geom: LatticeGeometry, lp: LoopParam):
+        from .params import CalcType
+        if lp.calc_type != CalcType.OPT_KERNEL:
+            # reference parity: only LOOP_CALC_TYPE_OPT_KERNEL is live;
+            # BLAS/BASIC error out (loop_mugiq.cpp calc-type dispatch,
+            # SURVEY §2.2 — both paths exist only in lib/LEGACY)
+            raise ValueError(
+                f"loop calc_type {lp.calc_type.name} is not implemented "
+                "(the reference supports only OPT_KERNEL; BLAS/BASIC are "
+                "legacy-disabled there too)")
         entries = [parse_disp_entry(e) for e in lp.disp_entries] if lp.do_nonlocal else []
         per = [stop - start + 1 for (_, start, stop) in entries]
         offs = []
