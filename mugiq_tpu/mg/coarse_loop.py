@@ -30,7 +30,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-from ..gamma import N_GAMMA, gamma_matrices
+from ..gamma import N_GAMMA, gamma_basis
 from ..lattice import LatticeGeometry
 
 
@@ -38,7 +38,7 @@ from ..lattice import LatticeGeometry
 def _gcoeff_np():
     """[16, 12, 12] dense gamma coefficients in spin tensor color:
     gcoeff(n)[s*3+c, s'*3+c'] = (gamma_n)_{s s'} delta_{c c'}."""
-    g = gamma_matrices()                      # [16, 4, 4]
+    g = gamma_basis()                         # [16, 4, 4]
     eye3 = np.eye(3)
     return np.einsum("nab,cd->nacbd", g, eye3).reshape(N_GAMMA, 12, 12)
 
