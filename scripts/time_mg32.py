@@ -82,7 +82,7 @@ def main():
 
     out = {"dims": list(DIMS), "levels": 2, "block": [4, 4, 4, 4],
            "n_vecs": 12, "n_ev": 8, "n_kr": 24, "precision": "bf16",
-           "mg_setup": "on-chip split-layout transfer/Galerkin",
+           "mg_setup": "on-chip KERNEL-layout transfer/Galerkin (mg/kernel_mg.py)",
            "runs": runs,
            "hardware": "1x TPU v5e (tunnelled)"}
     with open("/root/repo/artifacts/time_mg32.json", "w") as f:
