@@ -84,7 +84,9 @@ def main():
     @partial(jax.jit, static_argnums=2)
     def chain(U, p, n):
         Ut = U[:, 3]
-        body = lambda _, o: dk.dslash_hop_pallas(o, U, Ut, Y=Y)
+        # ps=True is the production default at this width (round 5:
+        # project-then-shift body, 2870 vs 2100 GFLOP/s — bench_ps.json)
+        body = lambda _, o: dk.dslash_hop_pallas(o, U, Ut, Y=Y, ps=True)
         return jax.lax.fori_loop(0, n, body, p)
 
     chain_s = partial(chain, n=N_SHORT)

@@ -155,8 +155,11 @@ class WilsonDiracKernel:
         # compiles, 512 does not) — large lattices default to the
         # grouped-lane kernel (whole t-slice per grid step, lane axis
         # regrouped to by*X; at-roofline at 32^3x64), y-blocked as a
-        # fallback when no lane grouping fits.
-        default = "base"
+        # fallback when no lane grouping fits.  VMEM-resident widths
+        # default to the project-then-shift body (psb): 60.3 us vs 82.4
+        # base at 16^3x32 f32 (artifacts/bench_ps.json) — the chained
+        # regime is shift/select-issue-bound and ps cuts that ~2.7x.
+        default = "psb"
         YX = self.U_k.shape[-1]
         X = YX // self.Y
         if YX > 256:

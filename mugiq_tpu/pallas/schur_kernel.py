@@ -110,7 +110,8 @@ def pack_parity_gauge(U_k: jnp.ndarray, Y: int, parity: int) -> jnp.ndarray:
 def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
                         combine_kappa2, post_clover: bool = False,
                         comb_clover: bool = False, by: int = None,
-                        z_ext: bool = False, y_ext: bool = False):
+                        z_ext: bool = False, y_ext: bool = False,
+                        ps: bool = False):
     """Parity-restricted hop kernel body.
 
     by (optional): grouped-lane tiling — the [Z, Y*Xh] slice views as
@@ -246,31 +247,52 @@ def _make_parity_kernel(Z: int, Y: int, Xh: int, dagger: bool,
 
         hop = partial(apply_hop, add_acc, dagger)
 
-        # ---- x: phase-masked packed shifts ----
-        hop(0, True,
-            get_psi=lambda s, c, r: x_fwd(pc(s, c, r)),
-            get_link=lambda a, b, r: uo(0, a, b, r))
-        hop(0, False,
-            get_psi=lambda s, c, r: x_bwd(pc(s, c, r)),
-            get_link=lambda a, b, r: (x_bwd(ui(0, b, a, r)) if r == 0
-                                      else -x_bwd(ui(0, b, a, r))))
-        # ---- y/z: packed column is invariant -> lattice-axis shifts ----
-        hop(1, True,
-            get_psi=lambda s, c, r: yshift(pc(s, c, r), +1),
-            get_link=lambda a, b, r: uo(1, a, b, r))
-        hop(1, False,
-            get_psi=lambda s, c, r: yshift(pc(s, c, r), -1),
-            get_link=lambda a, b, r: (
-                yshift(ui(1, b, a, r), -1) if r == 0
-                else -yshift(ui(1, b, a, r), -1)))
-        hop(2, True,
-            get_psi=lambda s, c, r: zshift(pc(s, c, r), +1),
-            get_link=lambda a, b, r: uo(2, a, b, r))
-        hop(2, False,
-            get_psi=lambda s, c, r: zshift(pc(s, c, r), -1),
-            get_link=lambda a, b, r: (
-                zshift(ui(2, b, a, r), -1) if r == 0
-                else -zshift(ui(2, b, a, r), -1)))
+        if ps:
+            # project-then-shift (see dslash_kernel.make_slice_compute
+            # ps=True): forward hops shift the 12 projected components,
+            # backward hops form U^dag h at the source site and shift the
+            # 12-component product — the packed x selects, y group-edge
+            # selects and z rolls all commute with per-site linear maps
+            shifts = (x_fwd, lambda v: yshift(v, +1),
+                      lambda v: zshift(v, +1))
+            shifts_b = (x_bwd, lambda v: yshift(v, -1),
+                        lambda v: zshift(v, -1))
+            for mu in range(3):
+                hop(mu, True,
+                    get_psi=pc,
+                    get_link=lambda a, b, r, m=mu: uo(m, a, b, r),
+                    shift_h=shifts[mu])
+                hop(mu, False,
+                    get_psi=pc,
+                    get_link=lambda a, b, r, m=mu: (
+                        ui(m, b, a, r) if r == 0 else -ui(m, b, a, r)),
+                    shift_g=shifts_b[mu])
+        else:
+            # ---- x: phase-masked packed shifts ----
+            hop(0, True,
+                get_psi=lambda s, c, r: x_fwd(pc(s, c, r)),
+                get_link=lambda a, b, r: uo(0, a, b, r))
+            hop(0, False,
+                get_psi=lambda s, c, r: x_bwd(pc(s, c, r)),
+                get_link=lambda a, b, r: (x_bwd(ui(0, b, a, r)) if r == 0
+                                          else -x_bwd(ui(0, b, a, r))))
+            # ---- y/z: packed column invariant -> lattice-axis shifts ----
+            hop(1, True,
+                get_psi=lambda s, c, r: yshift(pc(s, c, r), +1),
+                get_link=lambda a, b, r: uo(1, a, b, r))
+            hop(1, False,
+                get_psi=lambda s, c, r: yshift(pc(s, c, r), -1),
+                get_link=lambda a, b, r: (
+                    yshift(ui(1, b, a, r), -1) if r == 0
+                    else -yshift(ui(1, b, a, r), -1)))
+            hop(2, True,
+                get_psi=lambda s, c, r: zshift(pc(s, c, r), +1),
+                get_link=lambda a, b, r: uo(2, a, b, r))
+            hop(2, False,
+                get_psi=lambda s, c, r: zshift(pc(s, c, r), -1),
+                get_link=lambda a, b, r: (
+                    zshift(ui(2, b, a, r), -1) if r == 0
+                    else -zshift(ui(2, b, a, r), -1)))
         # ---- t: pipelined neighbour blocks ----
         hop(3, True,
             get_psi=lambda s, c, r: pp(s, c, r),
@@ -324,10 +346,11 @@ def _gl_view(a, S, L):
     return a.reshape(a.shape[:-2] + (S, L))
 
 
-@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2", "by"))
+@partial(jax.jit, static_argnames=("Y", "dagger", "kappa2", "by", "ps"))
 def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
                       dagger: bool = False, kappa2=None, psi_out=None,
-                      A_post=None, A_comb=None, by: int = None):
+                      A_post=None, A_comb=None, by: int = None,
+                      ps: bool = False):
     """Hop from the input parity to the output parity on packed fields.
 
     psi_in   [T, 24, Z, Y*Xh]  input-parity spinor
@@ -355,39 +378,40 @@ def parity_hop_pallas(psi_in, U_out, U_in, Ut_in, off_out, Y: int,
         S, L = Z, YXh
     kernel = _make_parity_kernel(Z, Y, Xh, dagger, kappa2,
                                  post_clover=A_post is not None,
-                                 comb_clover=A_comb is not None, by=by)
+                                 comb_clover=A_comb is not None, by=by,
+                                 ps=ps)
 
-    def ps(shape, tmap):
+    def bspec(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
             len(shape) - 1), memory_space=pltpu.VMEM)
 
     in_specs = [
-        ps((1, 24, S, L), lambda i: (i - 1) % T),
-        ps((1, 24, S, L), lambda i: i),
-        ps((1, 24, S, L), lambda i: (i + 1) % T),
-        ps((1, 4, 18, S, L), lambda i: i),
-        ps((1, 4, 18, S, L), lambda i: i),
-        ps((1, 18, S, L), lambda i: (i - 1) % T),
-        ps((1, 1, S, L), lambda i: i),
+        bspec((1, 24, S, L), lambda i: (i - 1) % T),
+        bspec((1, 24, S, L), lambda i: i),
+        bspec((1, 24, S, L), lambda i: (i + 1) % T),
+        bspec((1, 4, 18, S, L), lambda i: i),
+        bspec((1, 4, 18, S, L), lambda i: i),
+        bspec((1, 18, S, L), lambda i: (i - 1) % T),
+        bspec((1, 1, S, L), lambda i: i),
     ]
     pg = _gl_view(psi_in, S, L)
     args = [pg, pg, pg, _gl_view(U_out, S, L), _gl_view(U_in, S, L),
             _gl_view(Ut_in, S, L), _gl_view(off_out, S, L)]
     if A_post is not None:
-        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        in_specs.append(bspec((1, 144, S, L), lambda i: i))
         args.append(_gl_view(A_post, S, L))
     if kappa2 is not None:
-        in_specs.append(ps((1, 24, S, L), lambda i: i))
+        in_specs.append(bspec((1, 24, S, L), lambda i: i))
         args.append(_gl_view(psi_out, S, L))
     if A_comb is not None:
         assert kappa2 is not None, "A_comb requires the combine pass"
-        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        in_specs.append(bspec((1, 144, S, L), lambda i: i))
         args.append(_gl_view(A_comb, S, L))
     out = pallas_call_auto(
         kernel,
         grid=(T,),
         in_specs=in_specs,
-        out_specs=ps((1, 24, S, L), lambda i: i),
+        out_specs=bspec((1, 24, S, L), lambda i: i),
         out_shape=jax.ShapeDtypeStruct((T, 24, S, L), psi_in.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -420,36 +444,36 @@ def parity_hop_pallas_ext(psi_ext, U_out, U_in, Ut_in_shift, off_out,
                                  post_clover=A_post is not None,
                                  comb_clover=A_comb is not None, by=by)
 
-    def ps(shape, tmap):
+    def bspec(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
             len(shape) - 1), memory_space=pltpu.VMEM)
 
     in_specs = [
-        ps((1, 24, S, L), lambda i: i),
-        ps((1, 24, S, L), lambda i: i + 1),
-        ps((1, 24, S, L), lambda i: i + 2),
-        ps((1, 4, 18, S, L), lambda i: i),
-        ps((1, 4, 18, S, L), lambda i: i),
-        ps((1, 18, S, L), lambda i: i),
-        ps((1, 1, S, L), lambda i: i),
+        bspec((1, 24, S, L), lambda i: i),
+        bspec((1, 24, S, L), lambda i: i + 1),
+        bspec((1, 24, S, L), lambda i: i + 2),
+        bspec((1, 4, 18, S, L), lambda i: i),
+        bspec((1, 4, 18, S, L), lambda i: i),
+        bspec((1, 18, S, L), lambda i: i),
+        bspec((1, 1, S, L), lambda i: i),
     ]
     pg = _gl_view(psi_ext, S, L)
     args = [pg, pg, pg, _gl_view(U_out, S, L), _gl_view(U_in, S, L),
             _gl_view(Ut_in_shift, S, L), _gl_view(off_out, S, L)]
     if A_post is not None:
-        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        in_specs.append(bspec((1, 144, S, L), lambda i: i))
         args.append(_gl_view(A_post, S, L))
     if kappa2 is not None:
-        in_specs.append(ps((1, 24, S, L), lambda i: i))
+        in_specs.append(bspec((1, 24, S, L), lambda i: i))
         args.append(_gl_view(psi_out, S, L))
     if A_comb is not None:
-        in_specs.append(ps((1, 144, S, L), lambda i: i))
+        in_specs.append(bspec((1, 144, S, L), lambda i: i))
         args.append(_gl_view(A_comb, S, L))
     out = pallas_call_auto(
         kernel,
         grid=(Tl,),
         in_specs=in_specs,
-        out_specs=ps((1, 24, S, L), lambda i: i),
+        out_specs=bspec((1, 24, S, L), lambda i: i),
         out_shape=jax.ShapeDtypeStruct((Tl, 24, S, L), psi_ext.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -486,36 +510,36 @@ def parity_hop_pallas_extzy(psi_ext, U_out_ext, U_in_ext, Ut_in_shift_ext,
                                  comb_clover=A_comb is not None,
                                  z_ext=z_ext, y_ext=y_ext)
 
-    def ps(shape, tmap):
+    def bspec(shape, tmap):
         return pl.BlockSpec(shape, lambda i, tm=tmap: (tm(i),) + (0,) * (
             len(shape) - 1), memory_space=pltpu.VMEM)
 
     in_specs = [
-        ps((1, 24, Zp, YXp), lambda i: i),
-        ps((1, 24, Zp, YXp), lambda i: i + 1),
-        ps((1, 24, Zp, YXp), lambda i: i + 2),
-        ps((1, 4, 18, Zp, YXp), lambda i: i),
-        ps((1, 4, 18, Zp, YXp), lambda i: i),
-        ps((1, 18, Zp, YXp), lambda i: i),
-        ps((1, 1, Zp, YXp), lambda i: i),
+        bspec((1, 24, Zp, YXp), lambda i: i),
+        bspec((1, 24, Zp, YXp), lambda i: i + 1),
+        bspec((1, 24, Zp, YXp), lambda i: i + 2),
+        bspec((1, 4, 18, Zp, YXp), lambda i: i),
+        bspec((1, 4, 18, Zp, YXp), lambda i: i),
+        bspec((1, 18, Zp, YXp), lambda i: i),
+        bspec((1, 1, Zp, YXp), lambda i: i),
     ]
     args = [psi_ext, psi_ext, psi_ext, U_out_ext, U_in_ext,
             Ut_in_shift_ext, off_ext]
     if A_post is not None:
-        in_specs.append(ps((1, 144, Zl, YXl), lambda i: i))
+        in_specs.append(bspec((1, 144, Zl, YXl), lambda i: i))
         args.append(A_post)
     if kappa2 is not None:
-        in_specs.append(ps((1, 24, Zl, YXl), lambda i: i))
+        in_specs.append(bspec((1, 24, Zl, YXl), lambda i: i))
         args.append(psi_out)
     if A_comb is not None:
         assert kappa2 is not None, "A_comb requires the combine pass"
-        in_specs.append(ps((1, 144, Zl, YXl), lambda i: i))
+        in_specs.append(bspec((1, 144, Zl, YXl), lambda i: i))
         args.append(A_comb)
     return pallas_call_auto(
         kernel,
         grid=(Tl,),
         in_specs=in_specs,
-        out_specs=ps((1, 24, Zl, YXl), lambda i: i),
+        out_specs=bspec((1, 24, Zl, YXl), lambda i: i),
         out_shape=jax.ShapeDtypeStruct((Tl, 24, Zl, YXl), psi_ext.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -555,6 +579,9 @@ class SchurDiracKernelPacked:
     A_blocks: jnp.ndarray = None      # [T, 2, 6, 6, 2, Z, YX] or None
     Ainv_blocks: jnp.ndarray = None
     precision: str = "f32"
+    ps: bool = True           # project-then-shift kernel body (round 5:
+                              # ~2.7x less shift/select VPU work; exact
+                              # up to f32 op order — bench_ps.json)
 
     def __post_init__(self):
         from .dslash_kernel import pack_clover_kernel144
@@ -608,11 +635,11 @@ class SchurDiracKernelPacked:
         # chiral blocks are Hermitian, A^dag = A)
         d_oe = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=self.Y,
                                  dagger=dagger, A_post=self.Ainv_o,
-                                 by=self.by)
+                                 by=self.by, ps=self.ps)
         return parity_hop_pallas(d_oe, U_e, U_o, Ut_o, off_e, Y=self.Y,
                                  dagger=dagger,
                                  kappa2=float(self.kappa) ** 2, psi_out=pe,
-                                 A_comb=self.A_e, by=self.by)
+                                 A_comb=self.A_e, by=self.by, ps=self.ps)
 
     def M(self, pe):
         return self._apply(pe, self.U_e, self.Ut_e, self.U_o, self.Ut_o,
@@ -637,14 +664,15 @@ class SchurDiracKernelPacked:
         """(fn, args) with the packed link/mask operands as explicit jit
         arguments (keeps them out of the eigensolver-cycle HLO; see
         WilsonDiracKernel.operator_with_args)."""
-        Y, k2, by = self.Y, float(self.kappa) ** 2, self.by
+        Y, k2, by, ps = self.Y, float(self.kappa) ** 2, self.by, self.ps
 
         def m(pe, U_e, Ut_e, U_o, Ut_o, off_e, off_o, A_e, Ainv_o, dagger):
             d = parity_hop_pallas(pe, U_o, U_e, Ut_e, off_o, Y=Y,
-                                  dagger=dagger, A_post=Ainv_o, by=by)
+                                  dagger=dagger, A_post=Ainv_o, by=by,
+                                  ps=ps)
             return parity_hop_pallas(d, U_e, U_o, Ut_o, off_e, Y=Y,
                                      dagger=dagger, kappa2=k2, psi_out=pe,
-                                     A_comb=A_e, by=by)
+                                     A_comb=A_e, by=by, ps=ps)
 
         fns = {
             EigOperator.M: lambda p, *a: m(p, *a, False),

@@ -30,17 +30,19 @@ def force(x):
     return float(_SUM(x))
 
 
-def time_chain(mk_apply, psi, n1, n2, reps=3):
+def time_chain(mk_apply, psi, n1, n2, reps=3, args=()):
+    """mk_apply(x, *args); operands threaded as jit ARGS (a closure embeds
+    the links as HLO constants — HTTP 413 at 32^3)."""
     @partial(jax.jit, static_argnames=("n",))
-    def chain(p, n):
-        return jax.lax.fori_loop(0, n, lambda i, x: mk_apply(x), p)
+    def chain(p, n, *a):
+        return jax.lax.fori_loop(0, n, lambda i, x: mk_apply(x, *a), p)
 
-    force(chain(psi, n1)); force(chain(psi, n2))
+    force(chain(psi, n1, *args)); force(chain(psi, n2, *args))
     pers = []
     for _ in range(reps):
-        t0 = time.perf_counter(); force(chain(psi, n1))
+        t0 = time.perf_counter(); force(chain(psi, n1, *args))
         t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); force(chain(psi, n2))
+        t0 = time.perf_counter(); force(chain(psi, n2, *args))
         t2 = time.perf_counter() - t0
         pers.append((t2 - t1) / (n2 - n1))
     return float(np.median(pers))
@@ -62,8 +64,8 @@ def main():
     U = jnp.asarray(rng.standard_normal((T, 4, 18, Z, Y * X)), jnp.float32)
     Ut = U[:, 3]
     for tag, ps in (("base", False), ("psb", True)):
-        per = time_chain(lambda x, p=ps: dk.dslash_hop_pallas(
-            x, U, Ut, Y=Y, ps=p), psi, 8, 408)
+        per = time_chain(lambda x, u, ut, p=ps: dk.dslash_hop_pallas(
+            x, u, ut, Y=Y, ps=p), psi, 8, 408, args=(U, Ut))
         out[f"hop16_{tag}_us"] = round(per * 1e6, 2)
         out[f"hop16_{tag}_gflops"] = round(1320 * vol / per / 1e9, 1)
         print(f"16^3 hop {tag}: {per*1e6:.1f} us "
@@ -80,9 +82,10 @@ def main():
                                        U.astype(jnp.bfloat16)))):
         Ut32 = U32[:, 3]
         for tag, ps in (("gl8", False), ("psgl8", True)):
-            per = time_chain(lambda x, p=ps, u=U32, ut=Ut32, a=z1: (
+            per = time_chain(lambda x, u, ut, a, p=ps: (
                 dk.wilson_m_pallas_gl(x, u, ut, a, Y=Y, kappa=0.12, by=8,
-                                      ps=p)), p32, 4, 44)
+                                      ps=p)), p32, 4, 44,
+                args=(U32, Ut32, z1))
             out[f"m32_{prec}_{tag}_us"] = round(per * 1e6, 1)
             out[f"m32_{prec}_{tag}_gflops"] = round(1368 * vol / per / 1e9,
                                                     1)

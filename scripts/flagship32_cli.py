@@ -94,12 +94,13 @@ def main():
         sys.stderr.write(proc.stderr[-2000:])
         assert proc.returncode == 0, proc.returncode
 
-        m = re.search(r"Computed plaquette is ([0-9.]+)", proc.stdout)
+        text = proc.stdout + "\n" + proc.stderr    # CLI logs to stderr
+        m = re.search(r"Computed plaquette is ([0-9.]+)", text)
         resid = [float(v) for v in
-                 re.findall(r"Residual = ([+-][0-9.e+-]+)", proc.stdout)]
-        tsol = re.search(r"Time for solution = ([0-9.]+)", proc.stdout)
+                 re.findall(r"Residual = ([+-][0-9.e+-]+)", text)]
+        tsol = re.search(r"Time for solution = ([0-9.]+)", text)
         phases = {k: float(v) for k, v in re.findall(
-            r"PROFILE\s+([\w-]+):\s+([0-9.]+)s", proc.stdout)}
+            r"PROFILE\s+([\w-]+):\s+([0-9.]+)s", text)}
         runs[tag] = {
             "plaquette_cli": float(m.group(1)) if m else None,
             "max_residual": max(resid) if resid else None,
