@@ -196,9 +196,10 @@ def _bench_dslash32(n1=8, n2=58, reps=3):
     def timed(p, u, ut):
         @partial(jax.jit, static_argnames=("n",))
         def chain(pp, n, uu, uut):
+            # ps body: production default (bf16 1731 vs 1478 GFLOP/s)
             return jax.lax.fori_loop(
-                0, n, lambda i, x: dk.dslash_hop_pallas_gl(x, uu, uut,
-                                                           Y=Y, by=8), pp)
+                0, n, lambda i, x: dk.dslash_hop_pallas_gl(
+                    x, uu, uut, Y=Y, by=8, ps=True), pp)
 
         _force(chain(p, n1, u, ut)); _force(chain(p, n2, u, ut))
         pers = []
@@ -214,7 +215,7 @@ def _bench_dslash32(n1=8, n2=58, reps=3):
     Ub = U.astype(jnp.bfloat16)
     perb = timed(psi.astype(jnp.bfloat16), Ub, Ub[:, 3])
     return {"metric": "wilson_dslash_throughput_32c",
-            "dims": [32, 32, 32, 64], "variant": "gl8",
+            "dims": [32, 32, 32, 64], "variant": "psgl8",
             "us_f32": round(per32 * 1e6, 1),
             "gflops_f32": round(1320 * vol / per32 / 1e9, 1),
             "us_bf16": round(perb * 1e6, 1),

@@ -167,7 +167,10 @@ class WilsonDiracKernel:
                            if self.Y % b == 0 and b < self.Y
                            and 128 <= b * X <= 512]
             if gl_feasible:
-                default = f"gl{min(gl_feasible, key=lambda b: abs(b*X-256))}"
+                # ps body: f32 neutral (DMA-bound), bf16 +17% (1731 vs
+                # 1478 GFLOP/s at 32^3x64 — bench_ps.json)
+                default = (
+                    f"psgl{min(gl_feasible, key=lambda b: abs(b*X-256))}")
             else:
                 for by in (8, 4, 2):
                     if self.Y % by == 0 and (by + 2) * X <= 256:

@@ -93,6 +93,22 @@ def main():
                   f"({out[f'm32_{prec}_{tag}_gflops']} GFLOP/s)",
                   flush=True)
 
+    # ---- packed even-odd Schur MdagM at 16^3x32: ps on/off ----
+    from mugiq_tpu.pallas.schur_kernel import SchurDiracKernelPacked
+    T, Z, Y, X = 32, 16, 16, 16
+    volh = T * Z * Y * X // 2
+    U16 = jnp.asarray(rng.standard_normal((T, 4, 18, Z, Y * X)),
+                      jnp.float32)
+    for tag, psflag in (("pc", False), ("pspc", True)):
+        op = SchurDiracKernelPacked(U_k=U16, kappa=0.12, Y=Y, ps=psflag)
+        fn, args = op.operator_with_args(
+            __import__("mugiq_tpu.params", fromlist=["EigOperator"]
+                       ).EigOperator.MdagM)
+        pe = jnp.asarray(rng.standard_normal(op.field_shape), jnp.float32)
+        per = time_chain(lambda x, *a: fn(x, *a), pe, 4, 104, args=args)
+        out[f"pc16_{tag}_us"] = round(per * 1e6, 1)
+        print(f"16^3 packed MdagM {tag}: {per*1e6:.1f} us", flush=True)
+
     with open("/root/repo/artifacts/bench_ps.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote artifacts/bench_ps.json", flush=True)
