@@ -200,8 +200,8 @@ def test_wilson_kernel_default_variant_large_width():
     T, Z, Yb, X = 4, 4, 16, 32           # YX = 512
     U_k = jnp.zeros((T, 4, 18, Z, Yb * X), jnp.float32)
     op = WilsonDiracKernel(U_k=U_k, kappa=0.1, Y=Yb)
-    assert op._m_variant.startswith("gl"), op._m_variant
-    by = int(op._m_variant[2:])
+    assert op._m_variant.startswith("psgl"), op._m_variant
+    by = int(op._m_variant[4:])
     assert Yb % by == 0 and 128 <= by * X <= 512
     # Y with no feasible lane grouping (6 has no divisor in {4,8,16}) ->
     # yb fallback
