@@ -28,7 +28,8 @@ w = ac.AotJit(f, "test-mm")
 r = np.asarray(w(a, b))
 import glob
 n = len(glob.glob(f"{sys.argv[1]}/*.aotexe"))
-print(f"RESULT {float(r.sum()):.1f} FILES {n} LOADED {w._exe is not None}")
+loaded = any(v is not None for v in w._exes.values())
+print(f"RESULT {float(r.sum()):.1f} FILES {n} LOADED {loaded}")
 """
 
 
@@ -58,7 +59,7 @@ def test_aot_disabled_passthrough(monkeypatch):
     f = jax.jit(lambda x: x * 2)
     w = ac.AotJit(f, "t")
     assert float(jnp.sum(w(jnp.ones((4,))))) == 8.0
-    assert w._exe is None and not w._tried
+    assert not w._exes                    # cache off: never engaged
 
 
 def test_aot_multidevice_passthrough(tmp_path, monkeypatch):
