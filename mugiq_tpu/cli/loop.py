@@ -41,6 +41,13 @@ def main(argv=None):
     g.add_argument("--loop-pos-space-filename", default="")
     g.add_argument("--loop-gauge-filename", default="",
                    help="separate (smeared) gauge for displacements")
+    g.add_argument("--loop-coarse-ulocal", choices=["yes", "no"],
+                   default="no",
+                   help="ALSO assemble the ultra-local loop entirely in "
+                        "coarse space from restricted gamma generators — "
+                        "no eigenvector prolongation (the reference's "
+                        "legacy formulation, mg/coarse_loop.py; requires "
+                        "--mugiq-use-mg yes on the validation path)")
     g.add_argument("--production", action="store_true",
                    help="run the TPU production path (real-pair/pallas "
                         "kernels, f32) instead of the complex validation path")
@@ -137,6 +144,18 @@ def main(argv=None):
             mg=build_mg_param(args) if use_mg else None,
             U_loop=None if U_loop is None else jnp.asarray(U_loop))
         eig_res.print_evals()
+        if args.loop_coarse_ulocal == "yes":
+            if eig_res.mg_env is None:
+                p.error("--loop-coarse-ulocal requires --mugiq-use-mg yes "
+                        "--mugiq-compute-coarse yes (coarse eigenvectors)")
+            import numpy as np
+            from ..mg.coarse_loop import coarse_loop_ulocal
+            lam = np.asarray([complex(v).real for v in eig_res.evals])
+            cl = coarse_loop_ulocal(eig_res.mg_env, eig_res.evecs,
+                                    1.0 / lam, geom, momenta,
+                                    int(lp.ft_sign))
+            log(f"coarse-space ultra-local loop assembled: shape "
+                f"{cl.shape}, |L|_max = {np.abs(cl).max():.6e}")
     log(f"Time for solution = {time.time() - t0:.3f} s")
     print_profile()
     return 0
